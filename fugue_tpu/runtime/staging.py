@@ -1,0 +1,231 @@
+"""Staging: one discovery run → pure, vectorized array programs.
+
+This is the architectural pivot of the TPU build (SURVEY.md §7): the
+reference re-interprets the model AST node-by-node for every transition
+(``run`` trampoline, src/runtime/handler.rs:124-209 — O(#sites) dispatches
+per model run). Here a model is executed ONCE with a tracing handler to
+discover its ``SiteTable`` (ordered sites, dtype kinds, supports, shapes);
+from then on everything is a pure function of flat arrays:
+
+- ``sample_prior(key)``        → latent dict (jit, vmap over chains for free)
+- ``log_density_parts(latents)`` → (log_prior, log_likelihood, log_factors)
+  — preserving the reference Trace's three-accumulator split (trace.rs:198)
+- ``log_joint(latents)``       → scalar
+- ``potential(z)``             → -log p on *unconstrained* R^d via the
+  per-site transforms, with log-Jacobian corrections; ``jax.grad`` of this is
+  what replaces the reference's (L+1)·2d finite-difference model runs per HMC
+  proposal (hmc.rs:301-329).
+
+The model function must have *static structure*: the set of sample/observe
+addresses may not depend on sampled values (XLA requirement; the reference's
+open-universe RJMCMC traces are handled separately via bounded-branch masking
+— SURVEY.md §7 hard part 1). Structure violations surface as typed staging
+errors when the site table observed during a replay disagrees with discovery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import settings
+from ..core.distributions import Support
+from ..core.rng import site_key
+from ..core.transforms import Transform, transform_for_support
+from ..errors import StagingError, ErrorCode
+from .handler import run
+from .interpreters import PriorHandler, ValuesHandler
+from .trace import Trace
+
+
+@dataclass(frozen=True)
+class Site:
+    """Static metadata for one latent site (the staged analog of an
+    ``Address → Choice`` trace entry)."""
+
+    address: str
+    support: Support
+    shape: Tuple[int, ...]
+    kind: str  # real | bool | int
+    size: int  # number of scalar elements
+
+    @property
+    def is_continuous(self) -> bool:
+        return self.support.is_continuous
+
+
+@dataclass
+class LogDensityParts:
+    """The three reference accumulators (trace.rs:31-43) as JAX scalars."""
+
+    log_prior: Any
+    log_likelihood: Any
+    log_factors: Any
+
+    def total(self):
+        return self.log_prior + self.log_likelihood + self.log_factors
+
+
+class StagedModel:
+    """A model compiled to array programs over a fixed site table."""
+
+    def __init__(self, model_fn: Callable, args: tuple = (), kwargs: dict = None,
+                 discovery_key=None):
+        self.model_fn = model_fn
+        self.args = args
+        self.kwargs = kwargs or {}
+        if discovery_key is None:
+            discovery_key = jax.random.PRNGKey(0)
+        self._discover(discovery_key)
+
+    # -- discovery ----------------------------------------------------------
+
+    def _discover(self, key) -> None:
+        _, trace = run(PriorHandler(key), self.model_fn, *self.args, **self.kwargs)
+        sites: List[Site] = []
+        for a in sorted(trace.choices.keys()):
+            c = trace.choices[a]
+            if c.is_observed:
+                continue
+            shape = tuple(jnp.shape(c.value))
+            sites.append(
+                Site(
+                    address=a,
+                    support=c.support,
+                    shape=shape,
+                    kind=c.kind,
+                    size=int(np.prod(shape)) if shape else 1,
+                )
+            )
+        self.sites: List[Site] = sites
+        self.site_index: Dict[str, int] = {s.address: i for i, s in enumerate(sites)}
+        self.continuous_sites = [s for s in sites if s.is_continuous]
+        self.discrete_sites = [s for s in sites if not s.is_continuous]
+        self.observed_addresses = sorted(
+            a for a, c in trace.choices.items() if c.is_observed
+        )
+        self._transforms: Dict[str, Transform] = {
+            s.address: transform_for_support(s.support) for s in self.continuous_sites
+        }
+        # flat layout over continuous sites (address-sorted, reference
+        # BTreeMap-order parity)
+        self._offsets: Dict[str, Tuple[int, int]] = {}
+        off = 0
+        for s in self.continuous_sites:
+            self._offsets[s.address] = (off, off + s.size)
+            off += s.size
+        self.dim = off
+        self._discovery_trace = trace
+
+    # -- array programs -----------------------------------------------------
+
+    def sample_prior(self, key) -> Dict[str, Any]:
+        """Fresh prior draw of every latent, as an address→array dict.
+
+        Pure function of the key: vmap it over split keys for a batch of
+        chains (replaces one sequential PriorHandler run per chain).
+        """
+        _, trace = run(PriorHandler(key), self.model_fn, *self.args, **self.kwargs)
+        return trace.latents()
+
+    def prior_trace(self, key) -> Trace:
+        _, trace = run(PriorHandler(key), self.model_fn, *self.args, **self.kwargs)
+        return trace
+
+    def log_density_parts(self, latents: Dict[str, Any]) -> LogDensityParts:
+        """Replay with the given latent values; score everything.
+
+        The staged collapse of Replay/ScoreGivenTrace
+        (interpreters.rs:408-478): one jit-able function of arrays.
+        """
+        _, trace = run(
+            ValuesHandler(latents), self.model_fn, *self.args, **self.kwargs
+        )
+        return LogDensityParts(
+            trace.log_prior, trace.log_likelihood, trace.log_factors
+        )
+
+    def log_joint(self, latents: Dict[str, Any]):
+        return self.log_density_parts(latents).total()
+
+    def replay_trace(self, latents: Dict[str, Any]) -> Trace:
+        _, trace = run(
+            ValuesHandler(latents), self.model_fn, *self.args, **self.kwargs
+        )
+        return trace
+
+    # -- flat unconstrained parameterization (continuous sites) -------------
+
+    def constrain(self, z) -> Tuple[Dict[str, Any], Any]:
+        """Unconstrained flat vector z → (constrained latent dict, Σ log|J|)."""
+        out: Dict[str, Any] = {}
+        logdet = jnp.zeros((), z.dtype)
+        for s in self.continuous_sites:
+            lo, hi = self._offsets[s.address]
+            zs = z[lo:hi].reshape(s.shape)
+            t = self._transforms[s.address]
+            out[s.address] = t.forward(zs)
+            logdet = logdet + jnp.sum(t.log_det_jacobian(zs))
+        return out, logdet
+
+    def unconstrain(self, latents: Dict[str, Any]):
+        """Constrained latent dict → flat unconstrained vector z."""
+        parts = []
+        for s in self.continuous_sites:
+            t = self._transforms[s.address]
+            x = jnp.asarray(latents[s.address], settings.real_dtype())
+            parts.append(jnp.ravel(t.inverse(x)))
+        if not parts:
+            return jnp.zeros((0,), settings.real_dtype())
+        return jnp.concatenate(parts)
+
+    def merge_discrete(self, cont: Dict[str, Any],
+                       discrete: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        merged = dict(cont)
+        if discrete:
+            merged.update(discrete)
+        else:
+            for s in self.discrete_sites:
+                merged[s.address] = self._discovery_trace.choices[s.address].value
+        return merged
+
+    def log_joint_unconstrained(self, z, discrete: Optional[Dict[str, Any]] = None):
+        """log p(x(z), discrete) + log|J(z)| — the target for HMC/NUTS."""
+        cont, logdet = self.constrain(z)
+        latents = self.merge_discrete(cont, discrete)
+        return self.log_joint(latents) + logdet
+
+    def potential(self, z, discrete: Optional[Dict[str, Any]] = None):
+        """U(z) = -(log p + log|J|). ``jax.grad(potential)`` replaces the
+        reference's central-finite-difference force loop (hmc.rs:304-329)."""
+        return -self.log_joint_unconstrained(z, discrete)
+
+    def initial_position(self, key) -> Any:
+        """Prior draw mapped to the unconstrained space."""
+        return self.unconstrain(self.sample_prior(key))
+
+    # -- structured <-> flat convenience ------------------------------------
+
+    def flat_to_dict(self, z) -> Dict[str, Any]:
+        cont, _ = self.constrain(z)
+        return cont
+
+    def site(self, address: str) -> Site:
+        i = self.site_index.get(str(address))
+        if i is None:
+            raise StagingError(
+                ErrorCode.NOT_STAGEABLE,
+                f"unknown site {address!r}",
+                {"known": [s.address for s in self.sites]},
+            )
+        return self.sites[i]
+
+
+def stage(model_fn: Callable, *args, discovery_key=None, **kwargs) -> StagedModel:
+    """Stage a model function into array programs (see module docstring)."""
+    return StagedModel(model_fn, args, kwargs, discovery_key=discovery_key)
