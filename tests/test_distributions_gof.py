@@ -1,0 +1,208 @@
+"""Goodness-of-fit over ALL 17 distributions.
+
+Reference parity: tests/f_tests_sampler_validation.rs — KS test (n=5000,
+alpha=0.001) for the continuous distributions against analytic CDFs,
+chi-square for the discrete ones, and 5-sigma moment checks for all.
+The reference double-derives its reference values with a stdlib-only Python
+script (tests/gen_refs.py); here scipy.stats provides the analytic CDFs/PMFs,
+which is strictly stronger.
+
+Also checks: log_prob parity with the analytic log-pdf/log-pmf on a value
+grid (the hand-written log-space formulas must match), -inf outside support,
+and seeded determinism.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import fugue_tpu as ft
+
+N = 5000
+ALPHA = 1e-3
+KEY = jax.random.PRNGKey(20260817)
+
+
+def _draw(dist, key, n=N):
+    return np.asarray(dist.sample(key, (n,)))
+
+
+# (name, fugue dist, scipy frozen dist, moment mean, moment var)
+CONTINUOUS = [
+    ("normal", ft.Normal(1.5, 2.0), st.norm(1.5, 2.0)),
+    ("uniform", ft.Uniform(-2.0, 3.0), st.uniform(-2.0, 5.0)),
+    ("lognormal", ft.LogNormal(0.5, 0.75), st.lognorm(0.75, scale=np.exp(0.5))),
+    ("exponential", ft.Exponential(2.5), st.expon(scale=1 / 2.5)),
+    ("beta", ft.Beta(2.0, 5.0), st.beta(2.0, 5.0)),
+    ("gamma", ft.Gamma(3.0, 2.0), st.gamma(3.0, scale=1 / 2.0)),
+    ("studentt", ft.StudentT(5.0, 1.0, 2.0), st.t(5.0, loc=1.0, scale=2.0)),
+    ("cauchy", ft.Cauchy(0.5, 1.5), st.cauchy(0.5, 1.5)),
+    ("laplace", ft.Laplace(-1.0, 2.0), st.laplace(-1.0, 2.0)),
+    ("weibull", ft.Weibull(1.8, 2.2), st.weibull_min(1.8, scale=2.2)),
+    ("chisq", ft.ChiSquared(4.0), st.chi2(4.0)),
+    ("invgamma", ft.InverseGamma(3.0, 2.0), st.invgamma(3.0, scale=2.0)),
+]
+
+DISCRETE = [
+    ("bernoulli", ft.Bernoulli(0.3), st.bernoulli(0.3)),
+    (
+        "categorical",
+        ft.Categorical(probs=jnp.array([0.1, 0.2, 0.3, 0.4])),
+        st.rv_discrete(values=([0, 1, 2, 3], [0.1, 0.2, 0.3, 0.4])),
+    ),
+    ("binomial", ft.Binomial(20, 0.35), st.binom(20, 0.35)),
+    ("poisson", ft.Poisson(4.5), st.poisson(4.5)),
+    ("discrete_uniform", ft.DiscreteUniform(-3, 6), st.randint(-3, 7)),
+]
+
+
+@pytest.mark.parametrize("name,dist,ref", CONTINUOUS, ids=[c[0] for c in CONTINUOUS])
+def test_continuous_ks(name, dist, ref):
+    """KS test at alpha=0.001 (reference: f_tests_sampler_validation.rs)."""
+    key = jax.random.fold_in(KEY, ft.address_seed(name))
+    xs = _draw(dist, key)
+    stat, pval = st.kstest(xs, ref.cdf)
+    assert pval > ALPHA, f"{name}: KS p={pval:.2e} stat={stat:.4f}"
+
+
+@pytest.mark.parametrize("name,dist,ref", CONTINUOUS, ids=[c[0] for c in CONTINUOUS])
+def test_continuous_logprob_matches_analytic(name, dist, ref):
+    """Hand-written log-space formulas vs scipy logpdf on a support grid."""
+    q = np.linspace(0.01, 0.99, 41)
+    grid = ref.ppf(q)
+    lp = np.asarray(dist.log_prob(jnp.asarray(grid)))
+    expected = ref.logpdf(grid)
+    np.testing.assert_allclose(lp, expected, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "name,dist,lo_bad,hi_bad",
+    [
+        ("uniform", ft.Uniform(-2.0, 3.0), -2.5, 3.5),
+        ("lognormal", ft.LogNormal(0.5, 0.75), -1.0, None),
+        ("exponential", ft.Exponential(2.5), -0.1, None),
+        ("beta", ft.Beta(2.0, 5.0), -0.1, 1.1),
+        ("gamma", ft.Gamma(3.0, 2.0), -1.0, None),
+        ("weibull", ft.Weibull(1.8, 2.2), -0.5, None),
+        ("chisq", ft.ChiSquared(4.0), -0.5, None),
+        ("invgamma", ft.InverseGamma(3.0, 2.0), -0.5, None),
+    ],
+)
+def test_outside_support_is_neg_inf(name, dist, lo_bad, hi_bad):
+    assert float(dist.log_prob(lo_bad)) == -np.inf
+    if hi_bad is not None:
+        assert float(dist.log_prob(hi_bad)) == -np.inf
+
+
+@pytest.mark.parametrize("name,dist,ref", DISCRETE, ids=[d[0] for d in DISCRETE])
+def test_discrete_chisquare(name, dist, ref):
+    """Chi-square GOF for the 5 discrete distributions (reference parity)."""
+    key = jax.random.fold_in(KEY, ft.address_seed(name))
+    xs = _draw(dist, key).astype(np.int64)
+    lo, hi = int(xs.min()), int(xs.max())
+    support = np.arange(lo, hi + 1)
+    expected = np.array([ref.pmf(k) for k in support]) * N
+    # merge tail bins with expected < 5 into neighbors
+    mask = expected >= 5
+    obs_counts = np.array([(xs == k).sum() for k in support], dtype=float)
+    obs_main, exp_main = obs_counts[mask], expected[mask]
+    obs_tail = obs_counts[~mask].sum() + (N - obs_counts.sum())
+    exp_tail = expected[~mask].sum() + max(0.0, N - expected.sum())
+    if exp_tail > 0.5:
+        obs_main = np.append(obs_main, obs_tail)
+        exp_main = np.append(exp_main, exp_tail)
+    exp_main = exp_main * (obs_main.sum() / exp_main.sum())
+    stat = ((obs_main - exp_main) ** 2 / exp_main).sum()
+    dof = len(obs_main) - 1
+    pval = 1 - st.chi2.cdf(stat, dof)
+    assert pval > ALPHA, f"{name}: chi2 p={pval:.2e} stat={stat:.2f} dof={dof}"
+
+
+@pytest.mark.parametrize("name,dist,ref", DISCRETE, ids=[d[0] for d in DISCRETE])
+def test_discrete_logprob_matches_analytic(name, dist, ref):
+    lo, hi = int(ref.ppf(0.001)), int(ref.ppf(0.999))
+    ks = np.arange(lo, hi + 1)
+    if name == "bernoulli":
+        lp = np.asarray(dist.log_prob(jnp.asarray(ks, bool)))
+    else:
+        lp = np.asarray(dist.log_prob(jnp.asarray(ks)))
+    expected = ref.logpmf(ks)
+    np.testing.assert_allclose(lp, expected, rtol=1e-8, atol=1e-10)
+
+
+ALL_MOMENTS = [
+    (name, dist, ref) for (name, dist, ref) in CONTINUOUS + DISCRETE
+    if name != "cauchy"  # no moments
+]
+
+
+@pytest.mark.parametrize("name,dist,ref", ALL_MOMENTS, ids=[m[0] for m in ALL_MOMENTS])
+def test_moments_within_5_sigma(name, dist, ref):
+    """5-sigma sample-mean check (reference: moment checks for all 17)."""
+    key = jax.random.fold_in(KEY, ft.address_seed(name + "/moments"))
+    xs = _draw(dist, key).astype(np.float64)
+    mean, var = ref.stats(moments="mv")
+    if name == "studentt":  # heavy tails: se of mean still valid for df=5
+        pass
+    se = np.sqrt(float(var) / N)
+    assert abs(xs.mean() - float(mean)) < 5 * se, (
+        f"{name}: mean {xs.mean():.4f} vs {float(mean):.4f} (5se={5*se:.4f})"
+    )
+
+
+def test_discrete_natural_dtypes():
+    """Natural return types (reference: distribution.rs typed returns)."""
+    k = jax.random.PRNGKey(0)
+    assert ft.Bernoulli(0.5).sample(k).dtype == jnp.bool_
+    assert jnp.issubdtype(ft.Categorical.uniform(3).sample(k).dtype, jnp.integer)
+    assert jnp.issubdtype(ft.Binomial(10, 0.5).sample(k).dtype, jnp.integer)
+    assert jnp.issubdtype(ft.Poisson(2.0).sample(k).dtype, jnp.integer)
+    assert jnp.issubdtype(ft.DiscreteUniform(0, 9).sample(k).dtype, jnp.integer)
+
+
+def test_infallible_shortcuts():
+    """Normal.standard / Uniform.unit / Beta.uniform_prior / Categorical.uniform
+    (reference: distribution.rs:165,284,873,729)."""
+    assert float(ft.Normal.standard().log_prob(0.0)) == pytest.approx(
+        -0.5 * np.log(2 * np.pi)
+    )
+    assert float(ft.Uniform.unit().log_prob(0.5)) == pytest.approx(0.0)
+    assert float(ft.Beta.uniform_prior().log_prob(0.3)) == pytest.approx(0.0)
+    assert float(ft.Categorical.uniform(4).log_prob(2)) == pytest.approx(np.log(0.25))
+
+
+def test_parameter_validation_codes():
+    """Constructor validation raises the reference's typed codes."""
+    cases = [
+        (lambda: ft.Normal(np.nan, 1.0), ft.ErrorCode.INVALID_MEAN),
+        (lambda: ft.Normal(0.0, 0.0), ft.ErrorCode.INVALID_VARIANCE),
+        (lambda: ft.Bernoulli(1.5), ft.ErrorCode.INVALID_PROBABILITY),
+        (lambda: ft.Uniform(2.0, 1.0), ft.ErrorCode.INVALID_RANGE),
+        (lambda: ft.Gamma(-1.0, 1.0), ft.ErrorCode.INVALID_SHAPE),
+        (lambda: ft.Exponential(0.0), ft.ErrorCode.INVALID_RATE),
+        (lambda: ft.Binomial(-3, 0.5), ft.ErrorCode.INVALID_COUNT),
+        (lambda: ft.DiscreteUniform(5, 2), ft.ErrorCode.INVALID_RANGE),
+    ]
+    for ctor, code in cases:
+        with pytest.raises(ft.FugueError) as ei:
+            ctor()
+        assert ei.value.code == code
+
+
+def test_seeded_determinism():
+    """Same key → identical draws for every distribution family."""
+    for i, cls_args in enumerate([
+        (ft.Normal, (0.0, 1.0)),
+        (ft.Beta, (2.0, 3.0)),
+        (ft.Poisson, (3.0,)),
+        (ft.Categorical.uniform(5), None),
+    ]):
+        if cls_args[1] is None:
+            d = cls_args[0]
+        else:
+            d = cls_args[0](*cls_args[1])
+        k = jax.random.fold_in(KEY, i)
+        a, b = _draw(d, k, 16), _draw(d, k, 16)
+        np.testing.assert_array_equal(a, b)
