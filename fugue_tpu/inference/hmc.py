@@ -1,0 +1,568 @@
+"""Hamiltonian Monte Carlo over staged models.
+
+Capability parity with the reference HMC engine (reference:
+src/inference/hmc.rs — leapfrog with force reuse :353-407, dual-averaging
+step size (Hoffman-Gelman Alg 5) :141-184, reasonable-epsilon search (Alg 4)
+:479-535, diagonal mass adaptation via Welford at warmup midpoint + epsilon
+re-tune :187-233,885-908, divergence = non-finite force/log-joint → always
+reject :445-458, discrete sites held fixed (Metropolis-within-Gibbs) :69-71,
+incremental ``HmcSession`` :643-920, ``hmc_chain`` wrapper :566).
+
+TPU-native re-design (SURVEY.md §3.3):
+- forces come from ONE ``jax.grad`` of the staged log-density — replacing the
+  reference's (L+1)·2d finite-difference model runs per proposal
+  (hmc.rs:301-329) with (L+1) gradient evaluations *independent of d*;
+- the leapfrog trajectory is a ``lax.scan`` vmapped over chains: every chain
+  advances in lock-step inside one compiled kernel, positions laid out as a
+  (chains, d) matrix so the VPU sees full lanes;
+- dual-averaging and mass adaptation are CROSS-CHAIN: the acceptance
+  statistic and Welford moments are reduced over the chain axis
+  (``jnp.mean`` on one chip, ``lax.pmean`` when the chain axis is sharded
+  across a mesh) — hundreds of chains adapt a shared kernel in a fraction of
+  the reference's single-chain warmup;
+- the sampler runs on the *unconstrained* flat position space provided by
+  staging (log/logit/affine transforms with exact Jacobians — the
+  reparameterization the reference leaves to the user, hmc.rs:62-66).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import settings
+from ..core.rng import chain_keys
+from ..runtime.staging import StagedModel, stage
+
+
+# ---------------------------------------------------------------------------
+# Config (reference: HMCConfig, hmc.rs:105-135)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HMCConfig:
+    step_size: Optional[float] = None  # None → reasonable-epsilon search
+    n_leapfrog: int = 32
+    target_accept: float = 0.8
+    adapt_step_size: bool = True
+    adapt_mass: bool = True
+    max_delta_energy: float = 1000.0  # divergence threshold
+    jitter_steps: bool = False  # uniform jitter of L to avoid resonances
+
+
+# ---------------------------------------------------------------------------
+# Dual averaging (Hoffman & Gelman Alg 5; reference: hmc.rs:141-184)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DualAveragingState:
+    log_eps: Any
+    log_eps_bar: Any
+    h_bar: Any
+    mu: Any
+    t: Any  # adaptation step counter
+
+    @staticmethod
+    def init(eps0):
+        eps0 = jnp.asarray(eps0, settings.real_dtype())
+        return DualAveragingState(
+            log_eps=jnp.log(eps0),
+            log_eps_bar=jnp.zeros_like(eps0),
+            h_bar=jnp.zeros_like(eps0),
+            mu=jnp.log(10.0 * eps0),
+            t=jnp.zeros_like(eps0),
+        )
+
+
+def dual_averaging_update(
+    state: DualAveragingState,
+    accept_prob,
+    target: float = 0.8,
+    gamma: float = 0.05,
+    t0: float = 10.0,
+    kappa: float = 0.75,
+) -> DualAveragingState:
+    """One Nesterov dual-averaging step (math identical to hmc.rs:141-184).
+    ``accept_prob`` is the cross-chain mean acceptance statistic."""
+    m = state.t + 1.0
+    eta_h = 1.0 / (m + t0)
+    h_bar = (1.0 - eta_h) * state.h_bar + eta_h * (target - accept_prob)
+    log_eps = state.mu - jnp.sqrt(m) / gamma * h_bar
+    eta = jnp.power(m, -kappa)
+    log_eps_bar = eta * log_eps + (1.0 - eta) * state.log_eps_bar
+    return DualAveragingState(
+        log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar, mu=state.mu, t=m
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welford moments for mass adaptation (reference: hmc.rs:187-233)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class WelfordState:
+    count: Any
+    mean: Any
+    m2: Any
+
+    @staticmethod
+    def init(dim: int):
+        dt = settings.real_dtype()
+        return WelfordState(
+            count=jnp.zeros((), dt),
+            mean=jnp.zeros((dim,), dt),
+            m2=jnp.zeros((dim,), dt),
+        )
+
+
+def welford_push_batch(state: WelfordState, batch) -> WelfordState:
+    """Fold a (n_chains, d) batch of positions into the moments (Chan
+    parallel update) — the cross-chain form of the reference's scalar
+    Welford.push (hmc.rs:187-233)."""
+    n_b = jnp.asarray(batch.shape[0], state.mean.dtype)
+    mean_b = jnp.mean(batch, axis=0)
+    m2_b = jnp.sum((batch - mean_b) ** 2, axis=0)
+    n_new = state.count + n_b
+    delta = mean_b - state.mean
+    mean_new = state.mean + delta * (n_b / n_new)
+    m2_new = state.m2 + m2_b + delta**2 * (state.count * n_b / n_new)
+    return WelfordState(count=n_new, mean=mean_new, m2=m2_new)
+
+
+def welford_variance(state: WelfordState, regularize: bool = True):
+    var = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    if regularize:  # Stan-style shrinkage toward unit for small counts
+        n = state.count
+        var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+    return jnp.maximum(var, 1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Leapfrog (reference: hmc.rs:353-407)
+# ---------------------------------------------------------------------------
+
+
+def leapfrog(grad_fn, q, p, eps, n_steps: int, inv_mass):
+    """L leapfrog steps with force reuse: L+1 gradient evaluations
+    (reference: hmc.rs:353-407 — but each "gradient" here is one reverse-mode
+    sweep, not 2d model runs). ``lax.scan`` keeps the trajectory on-chip."""
+    g = grad_fn(q)
+
+    def body(carry, _):
+        q, p, g = carry
+        p_half = p - 0.5 * eps * g
+        q_new = q + eps * inv_mass * p_half
+        g_new = grad_fn(q_new)
+        p_new = p_half - 0.5 * eps * g_new
+        return (q_new, p_new, g_new), None
+
+    (q_new, p_new, g_new), _ = jax.lax.scan(body, (q, p, g), None, length=n_steps)
+    return q_new, p_new
+
+
+def leapfrog_recorded(grad_fn, potential_fn, q, p, eps, n_steps: int, inv_mass):
+    """Leapfrog that records the full trajectory (positions + Hamiltonians)
+    for diagnostics/animation (reference: step_recorded, hmc.rs:811-817)."""
+    g = grad_fn(q)
+
+    def body(carry, _):
+        q, p, g = carry
+        p_half = p - 0.5 * eps * g
+        q_new = q + eps * inv_mass * p_half
+        g_new = grad_fn(q_new)
+        p_new = p_half - 0.5 * eps * g_new
+        h = potential_fn(q_new) + 0.5 * jnp.sum(inv_mass * p_new**2)
+        return (q_new, p_new, g_new), (q_new, h)
+
+    (q_new, p_new, _), (qs, hs) = jax.lax.scan(body, (q, p, g), None, length=n_steps)
+    return q_new, p_new, qs, hs
+
+
+# ---------------------------------------------------------------------------
+# One HMC transition (per chain; vmap over chains)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class HmcStepInfo:
+    """Per-transition metadata (reference: HmcStepInfo, hmc.rs:586-602)."""
+
+    accept_prob: Any
+    accepted: Any
+    divergent: Any
+    energy: Any
+
+
+def hmc_transition(
+    potential_fn: Callable,
+    q,
+    key,
+    eps,
+    n_leapfrog: int,
+    inv_mass,
+    max_delta_energy: float = 1000.0,
+):
+    """One HMC proposal + MH correction for a single chain position ``q``.
+
+    Divergences (non-finite energy or |ΔH| > threshold) are always rejected
+    (reference: hmc.rs:445-458).
+    """
+    k_mom, k_acc = jax.random.split(key)
+    grad_fn = jax.grad(potential_fn)
+    p = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(inv_mass)
+    u0 = potential_fn(q)
+    h0 = u0 + 0.5 * jnp.sum(inv_mass * p**2)
+    q_new, p_new = leapfrog(grad_fn, q, p, eps, n_leapfrog, inv_mass)
+    u1 = potential_fn(q_new)
+    h1 = u1 + 0.5 * jnp.sum(inv_mass * p_new**2)
+    delta = h0 - h1
+    finite = jnp.isfinite(delta) & jnp.isfinite(u1)
+    divergent = (~finite) | (-delta > max_delta_energy)
+    accept_prob = jnp.where(
+        divergent, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
+    )
+    log_u = jnp.log(jax.random.uniform(k_acc, (), q.dtype, 1e-38, 1.0))
+    accepted = (~divergent) & (log_u < delta)
+    q_out = jnp.where(accepted, q_new, q)
+    info = HmcStepInfo(
+        accept_prob=accept_prob,
+        accepted=accepted,
+        divergent=divergent,
+        energy=jnp.where(accepted, h1, h0),
+    )
+    return q_out, info
+
+
+# ---------------------------------------------------------------------------
+# Reasonable epsilon (Hoffman & Gelman Alg 4; reference: hmc.rs:479-535)
+# ---------------------------------------------------------------------------
+
+
+def find_reasonable_epsilon(
+    potential_fn, q, key, inv_mass, max_iters: int = 60, n_steps: int = 1
+):
+    """Double/halve eps until the acceptance of an ``n_steps`` trajectory
+    crosses 0.5. ``n_steps=1`` is Hoffman-Gelman Alg 4 (used with dual
+    averaging); pass the real trajectory length for un-adapted sessions."""
+    dt = q.dtype
+    grad_fn = jax.grad(potential_fn)
+    p = jax.random.normal(key, q.shape, dt) / jnp.sqrt(inv_mass)
+    h0 = potential_fn(q) + 0.5 * jnp.sum(inv_mass * p**2)
+
+    def log_accept(eps):
+        q1, p1 = leapfrog(grad_fn, q, p, eps, n_steps, inv_mass)
+        h1 = potential_fn(q1) + 0.5 * jnp.sum(inv_mass * p1**2)
+        la = h0 - h1
+        return jnp.where(jnp.isfinite(la), la, -jnp.inf)
+
+    eps0 = jnp.asarray(1.0, dt)
+    la0 = log_accept(eps0)
+    # direction: +1 double while accept > 0.5, -1 halve while accept < 0.5
+    direction = jnp.where(la0 > jnp.log(0.5), 1.0, -1.0)
+
+    def cond(carry):
+        eps, la, it = carry
+        keep = jnp.where(
+            direction > 0, la > jnp.log(0.5), la < jnp.log(0.5)
+        )
+        return keep & (it < max_iters) & (eps > 1e-10) & (eps < 1e7)
+
+    def body(carry):
+        eps, _, it = carry
+        eps_new = eps * jnp.where(direction > 0, 2.0, 0.5)
+        return (eps_new, log_accept(eps_new), it + 1)
+
+    eps, _, _ = jax.lax.while_loop(cond, body, (eps0, la0, 0))
+    # doubling exits one step PAST the crossing (accept just fell below
+    # 0.5); step back so the returned eps is on the stable side
+    eps = jnp.where(direction > 0, eps * 0.5, eps)
+    return jnp.clip(eps, 1e-8, 1e6)
+
+
+# ---------------------------------------------------------------------------
+# Full chain driver (reference: hmc_chain, hmc.rs:566; warmup schedule
+# :880-908 — Welford mass at warmup midpoint + epsilon re-search)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HMCResult:
+    samples: Dict[str, Any]  # constrained, addr -> (n_chains, n_samples, ...)
+    positions: Any  # unconstrained (n_chains, n_samples, d)
+    log_joint: Any  # (n_chains, n_samples) — log p + log|J| at samples
+    accept_prob: Any  # (n_samples, ) cross-chain mean per step
+    divergences: Any  # (n_chains, n_samples) bool
+    step_size: float
+    inv_mass: Any
+    final_positions: Any
+
+
+def hmc_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 1000,
+    config: HMCConfig = HMCConfig(),
+    *,
+    n_chains: int = 1,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axis: Optional[str] = None,
+) -> HMCResult:
+    """Run HMC with cross-chain warmup adaptation.
+
+    ``chain_axis``: when set, the chain batch axis is a named mesh axis
+    (inside ``shard_map``) and adaptation statistics reduce with
+    ``lax.pmean`` over it; when None, plain ``jnp.mean`` (single chip).
+
+    Discrete sites are held fixed (reference: hmc.rs:69-71) at their
+    discovery values or at ``discrete``; compose with MH/Gibbs sweeps for
+    mixed models (see inference.gibbs).
+    """
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    dt = settings.real_dtype()
+    d = staged.dim
+    if d == 0:
+        raise ValueError("model has no continuous latent sites; use MH")
+
+    def potential(z):
+        return staged.potential(z, discrete)
+
+    def cross_mean(x):
+        if chain_axis is not None:
+            return jax.lax.pmean(jnp.mean(x), chain_axis)
+        return jnp.mean(x)
+
+    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 7), 3)
+    q0 = jax.vmap(lambda k: staged.initial_position(k))(chain_keys(k_init, n_chains))
+    q0 = q0.astype(dt)
+
+    inv_mass0 = jnp.ones((d,), dt)
+
+    @jax.jit
+    def drive(q0, k_eps, k_run):
+        if config.step_size is not None:
+            eps0 = jnp.asarray(config.step_size, dt)
+        else:
+            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
+        da0 = DualAveragingState.init(eps0)
+
+        vstep = jax.vmap(
+            lambda q, k, eps, im: hmc_transition(
+                potential, q, k, eps, config.n_leapfrog, im,
+                config.max_delta_energy,
+            ),
+            in_axes=(0, 0, None, None),
+        )
+
+        def warm_body(carry, k):
+            q, da, welford, inv_mass = carry
+            eps = jnp.exp(da.log_eps) if config.adapt_step_size else jnp.exp(da.mu - jnp.log(10.0))
+            keys = jax.random.split(k, n_chains)
+            q_new, info = vstep(q, keys, eps, inv_mass)
+            a_mean = cross_mean(info.accept_prob)
+            da_new = dual_averaging_update(da, a_mean, config.target_accept)
+            welford_new = welford_push_batch(welford, q_new)
+            return (q_new, da_new, welford_new, inv_mass), a_mean
+
+        n_half = n_warmup // 2
+
+        carry = (q0, da0, WelfordState.init(d), inv_mass0)
+        if n_warmup > 0:
+            warm_keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
+            carry, _ = jax.lax.scan(warm_body, carry, warm_keys1)
+            q1, da1, welford1, _ = carry
+            if config.adapt_mass:
+                # midpoint: mass ← regularized variances; epsilon re-tune
+                # (reference: hmc.rs:885-908)
+                inv_mass1 = welford_variance(welford1)
+                da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
+            else:
+                inv_mass1 = inv_mass0
+            carry = (q1, da1, WelfordState.init(d), inv_mass1)
+            warm_keys2 = jax.random.split(
+                jax.random.fold_in(k_run, 1), max(n_warmup - n_half, 1)
+            )
+            carry, _ = jax.lax.scan(warm_body, carry, warm_keys2)
+
+        q_w, da_w, _, inv_mass_f = carry
+        eps_final = (
+            jnp.exp(da_w.log_eps_bar)
+            if (config.adapt_step_size and n_warmup > 0)
+            else jnp.exp(da_w.log_eps)
+        )
+
+        def sample_body(q, k):
+            keys = jax.random.split(k, n_chains)
+            q_new, info = vstep(q, keys, eps_final, inv_mass_f)
+            lj = jax.vmap(lambda z: -potential(z))(q_new)
+            return q_new, (q_new, lj, info.accept_prob, info.divergent)
+
+        sample_keys = jax.random.split(jax.random.fold_in(k_run, 2), n_samples)
+        q_f, (qs, ljs, aps, divs) = jax.lax.scan(sample_body, q_w, sample_keys)
+        return q_f, qs, ljs, aps, divs, eps_final, inv_mass_f
+
+    q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = drive(q0, k_eps, k_run)
+
+    # constrain positions -> per-site sample arrays (n_chains, n_samples, ...)
+    positions = jnp.moveaxis(qs, 0, 1)  # (n_chains, n_samples, d)
+
+    @jax.jit
+    def constrain_all(positions):
+        def per_z(z):
+            cont, _ = staged.constrain(z)
+            return cont
+
+        return jax.vmap(jax.vmap(per_z))(positions)
+
+    samples = constrain_all(positions)
+    return HMCResult(
+        samples=samples,
+        positions=positions,
+        log_joint=jnp.moveaxis(ljs, 0, 1),
+        accept_prob=jnp.mean(aps, axis=-1),
+        divergences=jnp.moveaxis(divs, 0, 1),
+        step_size=float(np.asarray(eps_final)),
+        inv_mass=inv_mass_f,
+        final_positions=q_f,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental session (reference: HmcSession, hmc.rs:643-920)
+# ---------------------------------------------------------------------------
+
+
+class HmcSession:
+    """Stateful incremental HMC: step-by-step transitions with live control,
+    trajectory recording, and state inspection — parity with the reference's
+    ``HmcSession`` (hmc.rs:643-920) used by the browser bindings.
+
+    Holds (position, step_size, inv_mass, key) as device arrays; each call is
+    one jit-compiled transition, so interactive use stays fast.
+    """
+
+    def __init__(
+        self,
+        key,
+        model_fn: Optional[Callable] = None,
+        config: HMCConfig = HMCConfig(),
+        *,
+        staged: Optional[StagedModel] = None,
+        model_args: tuple = (),
+    ):
+        self.staged = staged if staged is not None else stage(model_fn, *model_args)
+        if self.staged.dim == 0:
+            raise ValueError("model has no continuous latent sites")
+        self.config = config
+        k_init, k_eps, self._key = jax.random.split(key, 3)
+        self._q = self.staged.initial_position(k_init).astype(settings.real_dtype())
+        self.inv_mass = jnp.ones((self.staged.dim,), settings.real_dtype())
+        if config.step_size is not None:
+            self.step_size = float(config.step_size)
+        else:
+            # search along the session's real trajectory length: no dual
+            # averaging runs afterwards, so the one-step Alg-4 estimate can
+            # be unstable at L steps
+            self.step_size = float(
+                np.asarray(
+                    find_reasonable_epsilon(
+                        self.staged.potential, self._q, k_eps, self.inv_mass,
+                        n_steps=config.n_leapfrog,
+                    )
+                )
+            )
+        self.n_leapfrog = config.n_leapfrog
+        self._jit_step = jax.jit(
+            lambda q, k, eps, im, L: hmc_transition(
+                self.staged.potential, q, k, eps, L, im, config.max_delta_energy
+            ),
+            static_argnums=(4,),
+        )
+
+        def _recorded(q, k, eps, im, L):
+            k_mom, k_acc = jax.random.split(k)
+            grad_fn = jax.grad(self.staged.potential)
+            p = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(im)
+            h0 = self.staged.potential(q) + 0.5 * jnp.sum(im * p**2)
+            q_new, p_new, qs, hs = leapfrog_recorded(
+                grad_fn, self.staged.potential, q, p, eps, L, im
+            )
+            h1 = self.staged.potential(q_new) + 0.5 * jnp.sum(im * p_new**2)
+            delta = h0 - h1
+            finite = jnp.isfinite(delta)
+            divergent = (~finite) | (-delta > config.max_delta_energy)
+            log_u = jnp.log(jax.random.uniform(k_acc, (), q.dtype, 1e-38, 1.0))
+            accepted = (~divergent) & (log_u < delta)
+            q_out = jnp.where(accepted, q_new, q)
+            ap = jnp.where(divergent, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0))))
+            return q_out, accepted, divergent, ap, qs, hs, h0
+
+        self._jit_recorded = jax.jit(_recorded, static_argnums=(4,))
+
+    def warmup(self, n_steps: int = 100) -> None:
+        """Adapt the step size in place with dual averaging (the session
+        analog of the chain driver's warmup phase)."""
+        da = DualAveragingState.init(jnp.asarray(self.step_size))
+        for _ in range(n_steps):
+            info = self.step()
+            da = dual_averaging_update(
+                da, info.accept_prob, self.config.target_accept
+            )
+            self.step_size = float(np.exp(np.asarray(da.log_eps)))
+        self.step_size = float(np.exp(np.asarray(da.log_eps_bar)))
+
+    # live control (reference: set_step_size / set_n_leapfrog, hmc.rs:871-880)
+    def set_step_size(self, eps: float) -> None:
+        self.step_size = float(eps)
+
+    def set_n_leapfrog(self, n: int) -> None:
+        self.n_leapfrog = int(n)
+
+    @property
+    def position(self):
+        return self._q
+
+    def current_trace(self):
+        """Constrained values + density parts at the current position."""
+        cont, _ = self.staged.constrain(self._q)
+        return self.staged.replay_trace(self.staged.merge_discrete(cont))
+
+    def step(self) -> HmcStepInfo:
+        self._key, k = jax.random.split(self._key)
+        q_new, info = self._jit_step(
+            self._q, k, self.step_size, self.inv_mass, self.n_leapfrog
+        )
+        self._q = q_new
+        return info
+
+    def step_recorded(self):
+        """One transition returning the full trajectory (positions and
+        Hamiltonians per leapfrog step) for animation/diagnostics
+        (reference: step_recorded, hmc.rs:811-817)."""
+        self._key, k = jax.random.split(self._key)
+        q_out, accepted, divergent, ap, qs, hs, h0 = self._jit_recorded(
+            self._q, k, self.step_size, self.inv_mass, self.n_leapfrog
+        )
+        self._q = q_out
+        return {
+            "accepted": bool(np.asarray(accepted)),
+            "divergent": bool(np.asarray(divergent)),
+            "accept_prob": float(np.asarray(ap)),
+            "trajectory": np.asarray(qs),
+            "hamiltonians": np.asarray(hs),
+            "initial_energy": float(np.asarray(h0)),
+        }

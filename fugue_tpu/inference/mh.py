@@ -173,11 +173,15 @@ def mh_step(
     key,
     adapt: bool,
     target_accept: float = TARGET_ACCEPT,
+    log_density_fn=None,
 ) -> MHState:
     """One single-site MH transition (one log-density evaluation).
 
     Per-chain function — ``vmap`` it over a batch of states/keys.
+    ``log_density_fn`` overrides the target (e.g. SMC's tempered
+    pi_beta = prior + beta * likelihood); defaults to the full joint.
     """
+    target = log_density_fn if log_density_fn is not None else staged.log_joint
     sites = staged.sites
     n_sites = len(sites)
     k_site, k_acc, *k_props = jax.random.split(key, 2 + n_sites)
@@ -195,7 +199,7 @@ def mh_step(
         corrections.append(jnp.where(sel, corr, 0.0))
     hastings = jnp.sum(jnp.stack(corrections))
 
-    new_lj = staged.log_joint(proposed)
+    new_lj = target(proposed)
     log_alpha = new_lj - state.log_joint + hastings
     log_u = jnp.log(jax.random.uniform(k_acc, (), new_lj.dtype, 1e-38, 1.0))
     accept = log_u < log_alpha

@@ -1,0 +1,260 @@
+"""Likelihood-tempered adaptive Sequential Monte Carlo.
+
+Capability parity with the reference SMC engine (reference:
+src/inference/smc.rs — prior particles weighted by likelihood only, prior
+cancels (FG-03) :756-790; adaptive beta ladder by ESS bisection (Jasra)
+:588-622; unbiased log-evidence accumulation (FG-58) :505-529;
+systematic/stratified/multinomial resampling :255-349; pi_beta-invariant
+single-site MH rejuvenation that does NOT touch weights (FG-13) :624-713; no
+terminal resample (FG-43) :531-560; zero-rejuvenation shortcut = single
+importance reweight :484-493; MAX_STEPS safety net :499).
+
+TPU-native re-design (SURVEY.md §3.4): particles are a leading batch axis of
+one latents pytree — initialization is a vmapped prior draw, tempering and
+reweighting are elementwise ops over the weight vector, the beta ladder is a
+bounded ``lax.while_loop`` with a fixed 64-iteration ESS bisection (the
+reference already fixes 64, smc.rs:612-619), resampling is cumsum +
+searchsorted (ops/resampling.py), and rejuvenation is the vectorized
+single-site MH kernel retargeted at pi_beta with CROSS-PARTICLE shared
+adaptive scales. The whole run is a single jit-compiled program; when the
+particle axis is sharded across a mesh, ESS/evidence reductions become
+``psum`` collectives (parallel module).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import settings
+from ..core.numerics import log_sum_exp
+from ..core.rng import chain_keys
+from ..ops.resampling import (
+    RESAMPLERS,
+    effective_sample_size,
+    normalize_log_weights,
+)
+from ..runtime.staging import StagedModel, stage
+from .mcmc_utils import AdaptationState, adapt_update
+from .mh import MHState, mh_step
+
+MAX_STAGES = 64  # safety net (reference: MAX_STEPS, smc.rs:499)
+BISECT_ITERS = 64  # reference: smc.rs:612-619
+
+
+@dataclass(frozen=True)
+class SMCConfig:
+    """Reference: SMCConfig (smc.rs:172-189)."""
+
+    ess_threshold: float = 0.5  # resample/temper when ESS < threshold * N
+    rejuvenation_steps: int = 3
+    resampling: str = "systematic"
+    initial_scale: float = 0.5
+    target_accept: float = 0.44
+
+
+@dataclass
+class SMCResult:
+    """Reference: SMCResult (smc.rs:361-373). ``particles`` is a latents
+    pytree with a leading particle axis; ``weights`` are normalized."""
+
+    particles: Dict[str, Any]
+    log_weights: Any
+    weights: Any
+    log_evidence: float
+    n_stages: int
+    ess: float
+
+    def posterior_mean(self, address: str):
+        vals = jnp.asarray(self.particles[str(address)], settings.real_dtype())
+        w = self.weights.reshape(self.weights.shape + (1,) * (vals.ndim - 1))
+        return jnp.sum(w * vals, axis=0)
+
+    def posterior_var(self, address: str):
+        vals = jnp.asarray(self.particles[str(address)], settings.real_dtype())
+        w = self.weights.reshape(self.weights.shape + (1,) * (vals.ndim - 1))
+        m = jnp.sum(w * vals, axis=0)
+        return jnp.sum(w * (vals - m) ** 2, axis=0)
+
+
+def _next_beta(beta, log_w, ll, target_ess):
+    """ESS-bisection for the next temperature (reference: smc.rs:588-622).
+
+    Finds beta' in (beta, 1] such that the ESS of log_w + (beta'-beta)*ll
+    hits ``target_ess``; returns 1.0 when the full jump keeps ESS above
+    target. Fixed 64 iterations (XLA-friendly; matches the reference)."""
+
+    def ess_at(b):
+        return effective_sample_size(log_w + (b - beta) * ll)
+
+    full = ess_at(1.0)
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        too_low = ess_at(mid) < target_ess
+        return jnp.where(too_low, lo, mid), jnp.where(too_low, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(
+        0, BISECT_ITERS, bisect, (beta, jnp.ones_like(beta))
+    )
+    out = jnp.where(full >= target_ess, 1.0, lo)
+    # guarantee ladder progress so the while_loop cannot stall short of 1
+    return jnp.minimum(jnp.maximum(out, beta + 1e-4), 1.0)
+
+
+def adaptive_smc(
+    key,
+    n_particles: int,
+    model_fn: Optional[Callable] = None,
+    config: SMCConfig = SMCConfig(),
+    *,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+) -> SMCResult:
+    """Likelihood-tempered adaptive SMC (reference driver: smc.rs:455-580)."""
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    N = n_particles
+    dt = settings.real_dtype()
+    resampler = RESAMPLERS[config.resampling]
+
+    def loglik(latents):
+        parts = staged.log_density_parts(latents)
+        return parts.log_likelihood + parts.log_factors
+
+    def tempered(latents, beta):
+        parts = staged.log_density_parts(latents)
+        return parts.log_prior + beta * (parts.log_likelihood + parts.log_factors)
+
+    k_init, k_loop = jax.random.split(jax.random.fold_in(key, 3))
+
+    @jax.jit
+    def drive(k_init, k_loop):
+        # Stage 0: prior particles, weights = 1/N; the prior cancels in the
+        # importance weight so only (tempered) likelihood enters (FG-03).
+        latents0 = jax.vmap(staged.sample_prior)(chain_keys(k_init, N))
+        ll0 = jax.vmap(loglik)(latents0)
+        log_w0 = jnp.zeros((N,), dt)
+        adapt0 = AdaptationState.init(len(staged.sites), config.initial_scale)
+
+        target_ess = config.ess_threshold * N
+
+        def cond(carry):
+            latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = carry
+            return (beta < 1.0) & (stage_i < MAX_STAGES)
+
+        def body(carry):
+            latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = carry
+            k, k_res, k_rej = jax.random.split(k, 3)
+
+            beta_new = _next_beta(beta, log_w, ll, target_ess)
+            delta = beta_new - beta
+
+            # unbiased log-evidence increment under current normalized
+            # weights (FG-58): log sum_i wbar_i exp(delta*ll_i)
+            log_wbar = log_w - log_sum_exp(log_w)
+            log_z = log_z + log_sum_exp(log_wbar + delta * ll)
+            log_w = log_w + delta * ll
+
+            def resample_and_rejuvenate(args):
+                latents, log_w, ll, adapt_st = args
+                idx = resampler(k_res, log_w)
+                latents = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, idx, axis=0), latents
+                )
+                log_w = jnp.zeros_like(log_w)
+
+                # pi_beta-invariant rejuvenation; weights untouched (FG-13)
+                def rejuv_body(m, inner):
+                    latents, adapt_st = inner
+                    lj = jax.vmap(lambda l: tempered(l, beta_new))(latents)
+                    states = MHState(latents=latents, log_joint=lj, adapt=adapt_st)
+
+                    def one(particle_state, kk):
+                        # shared (particle-broadcast) adaptation state
+                        return mh_step(
+                            staged,
+                            particle_state,
+                            kk,
+                            False,  # adaptation handled collectively below
+                            config.target_accept,
+                            log_density_fn=lambda l: tempered(l, beta_new),
+                        )
+
+                    kks = jax.random.split(jax.random.fold_in(k_rej, m), N)
+                    new_states, accepted = jax.vmap(
+                        one, in_axes=(MHState(latents=0, log_joint=0, adapt=None), 0)
+                    )(states, kks)
+                    # cross-particle shared scale adaptation
+                    acc_mean = jnp.mean(accepted.astype(dt))
+                    ones = jnp.ones((len(staged.sites),), dt) / len(staged.sites)
+                    adapt_new = adapt_update(
+                        adapt_st, ones, acc_mean, target=config.target_accept
+                    )
+                    return (new_states.latents, adapt_new)
+
+                if config.rejuvenation_steps > 0:
+                    latents, adapt_st = jax.lax.fori_loop(
+                        0, config.rejuvenation_steps, rejuv_body,
+                        (latents, adapt_st),
+                    )
+                ll = jax.vmap(loglik)(latents)
+                return latents, log_w, ll, adapt_st
+
+            # no terminal resample (FG-43): only resample when beta_new < 1
+            latents, log_w, ll, adapt_st = jax.lax.cond(
+                beta_new < 1.0,
+                resample_and_rejuvenate,
+                lambda args: args,
+                (latents, log_w, ll, adapt_st),
+            )
+            return (latents, log_w, ll, beta_new, log_z, adapt_st, k, stage_i + 1)
+
+        init = (
+            latents0,
+            log_w0,
+            ll0,
+            jnp.zeros((), dt),
+            jnp.zeros((), dt),
+            adapt0,
+            k_loop,
+            jnp.zeros((), jnp.int32),
+        )
+        if config.rejuvenation_steps == 0 and config.ess_threshold <= 0.0:
+            # zero-rejuvenation shortcut: single importance reweight by the
+            # full likelihood (reference: smc.rs:484-493)
+            log_w = ll0
+            log_z = log_sum_exp(log_w) - jnp.log(jnp.asarray(N, dt))
+            return latents0, log_w, log_z, jnp.ones((), jnp.int32)
+
+        latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        return latents, log_w, log_z, stage_i
+
+    latents, log_w, log_z, n_stages = drive(k_init, k_loop)
+    weights, _ = normalize_log_weights(log_w)
+    return SMCResult(
+        particles=latents,
+        log_weights=log_w,
+        weights=weights,
+        log_evidence=float(np.asarray(log_z)),
+        n_stages=int(np.asarray(n_stages)),
+        ess=float(np.asarray(effective_sample_size(log_w))),
+    )
+
+
+def importance_reweight(key, n_particles: int, model_fn=None, *, staged=None,
+                        model_args: tuple = ()):
+    """Plain prior-proposal importance sampling (the zero-rejuvenation
+    shortcut as a first-class entry point, smc.rs:484-493)."""
+    cfg = SMCConfig(rejuvenation_steps=0, ess_threshold=0.0)
+    return adaptive_smc(
+        key, n_particles, model_fn, cfg, staged=staged, model_args=model_args
+    )
