@@ -1,0 +1,454 @@
+"""Mean-field variational inference with pathwise gradients.
+
+Capability parity with the reference VI engine (reference:
+src/inference/vi.rs — support-matched families (Real→Normal,
+Positive→LogNormal, Unit→Beta — FG-17) :119-126,245-279; exact Beta sampling
+(FG-60) :294-364; guide = map<Address, VariationalParam> :520-523;
+``from_trace`` rejects discrete latents with a typed GuideError :577-600;
+deterministic address-sorted guide sampling :609-630; MC ELBO
+E_q[log p − log q] :639-669; optimization with decayed steps on location AND
+scale with clamps (FG-04) :784-864; ELBO-plateau convergence windows (FG-44)
+:812-821; prior-guide ``estimate_elbo`` (FG-46) :905-923).
+
+TPU-native re-design (SURVEY.md §3.5): the reference computes ELBO gradients
+by central finite differences with common random numbers — 4·|params|·
+n_samples model runs per iteration (vi.rs:687-725). Here the guide is
+reparameterized, so ONE ``jax.grad`` of the vmapped MC-ELBO gives all
+parameter gradients at once (CRN machinery unnecessary — the pathwise
+estimator is deterministic in the base noise by construction). Families:
+Normal via location-scale, LogNormal via exp, Beta via two Gammas
+(G1/(G1+G2)) using JAX's implicitly-reparameterized gamma sampler — exact
+Beta guides as in the reference, still fully differentiable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import settings
+from ..core.rng import chain_keys
+from ..errors import ErrorCode, FugueError
+from ..runtime.staging import StagedModel, stage
+
+
+class GuideError(FugueError):
+    """Unsupported guide construction (reference: vi.rs:577-600)."""
+
+
+# ---------------------------------------------------------------------------
+# Variational families (reference: vi.rs:119-126,245-364)
+# ---------------------------------------------------------------------------
+
+
+class Family:
+    """One mean-field factor. Params are unconstrained arrays; ``sample`` is
+    reparameterized (differentiable w.r.t. params); ``log_prob`` is the
+    entropy side of the ELBO."""
+
+    n_params = 2
+
+    def init(self, shape):
+        raise NotImplementedError
+
+    def sample(self, key, params, shape):
+        raise NotImplementedError
+
+    def log_prob(self, params, x):
+        raise NotImplementedError
+
+    def clamp(self, params):
+        return params
+
+
+_LOG_2PI = float(np.log(2 * np.pi))
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _inv_softplus(y):
+    y = jnp.asarray(y)
+    return jnp.where(y > 20.0, y, jnp.log(jnp.expm1(jnp.minimum(y, 20.0))))
+
+
+class NormalFamily(Family):
+    """Real support: N(loc, softplus(raw_scale)) (vi.rs Real→Normal)."""
+
+    def init(self, shape, loc=0.0, scale=1.0):
+        dt = settings.real_dtype()
+        return {
+            "loc": jnp.full(shape, loc, dt),
+            "raw_scale": jnp.full(shape, float(_inv_softplus(scale)), dt),
+        }
+
+    def sample(self, key, params, shape):
+        eps = jax.random.normal(key, shape, settings.real_dtype())
+        return params["loc"] + _softplus(params["raw_scale"]) * eps
+
+    def log_prob(self, params, x):
+        s = _softplus(params["raw_scale"])
+        z = (x - params["loc"]) / s
+        return -0.5 * z * z - jnp.log(s) - 0.5 * _LOG_2PI
+
+    def entropy(self, params):
+        s = _softplus(params["raw_scale"])
+        return jnp.sum(0.5 * (1.0 + _LOG_2PI) + jnp.log(s))
+
+    def clamp(self, params):
+        # scale clamps (reference FG-04: vi.rs:101-109,457-483)
+        return {
+            "loc": jnp.clip(params["loc"], -1e6, 1e6),
+            "raw_scale": jnp.clip(params["raw_scale"], _inv_softplus(1e-6), _inv_softplus(1e3)),
+        }
+
+
+class LogNormalFamily(Family):
+    """Positive support: LogNormal(loc, softplus(raw_scale))."""
+
+    def init(self, shape, loc=0.0, scale=1.0):
+        dt = settings.real_dtype()
+        return {
+            "loc": jnp.full(shape, loc, dt),
+            "raw_scale": jnp.full(shape, float(_inv_softplus(scale)), dt),
+        }
+
+    def sample(self, key, params, shape):
+        eps = jax.random.normal(key, shape, settings.real_dtype())
+        return jnp.exp(params["loc"] + _softplus(params["raw_scale"]) * eps)
+
+    def log_prob(self, params, x):
+        s = _softplus(params["raw_scale"])
+        lx = jnp.log(x)
+        z = (lx - params["loc"]) / s
+        return -lx - jnp.log(s) - 0.5 * _LOG_2PI - 0.5 * z * z
+
+    def entropy(self, params):
+        s = _softplus(params["raw_scale"])
+        return jnp.sum(params["loc"] + 0.5 * (1.0 + _LOG_2PI) + jnp.log(s))
+
+    def clamp(self, params):
+        return {
+            "loc": jnp.clip(params["loc"], -30.0, 30.0),
+            "raw_scale": jnp.clip(params["raw_scale"], _inv_softplus(1e-6), _inv_softplus(50.0)),
+        }
+
+
+class BetaFamily(Family):
+    """Unit support: Beta(exp(raw_a), exp(raw_b)) — exact Beta guide
+    (reference FG-17/FG-60), reparameterized through JAX's implicitly
+    differentiable gamma sampler: X = G_a / (G_a + G_b). Log-space raw
+    parameters keep the concentration direction well-conditioned (a 1→14
+    move is a 2.6-unit raw step, not 13)."""
+
+    def init(self, shape, a=1.0, b=1.0):
+        dt = settings.real_dtype()
+        return {
+            "raw_a": jnp.full(shape, float(np.log(a)), dt),
+            "raw_b": jnp.full(shape, float(np.log(b)), dt),
+        }
+
+    def sample(self, key, params, shape):
+        ka, kb = jax.random.split(key)
+        a = jnp.exp(params["raw_a"])
+        b = jnp.exp(params["raw_b"])
+        dt = settings.real_dtype()
+        g1 = jax.random.gamma(ka, jnp.broadcast_to(a, shape), dtype=dt)
+        g2 = jax.random.gamma(kb, jnp.broadcast_to(b, shape), dtype=dt)
+        x = g1 / (g1 + g2)
+        return jnp.clip(x, 1e-6, 1.0 - 1e-6)
+
+    def log_prob(self, params, x):
+        from jax.scipy.special import betaln
+
+        a = jnp.exp(params["raw_a"])
+        b = jnp.exp(params["raw_b"])
+        return (a - 1) * jnp.log(x) + (b - 1) * jnp.log1p(-x) - betaln(a, b)
+
+    def entropy(self, params):
+        from jax.scipy.special import betaln, digamma
+
+        a = jnp.exp(params["raw_a"])
+        b = jnp.exp(params["raw_b"])
+        h = (
+            betaln(a, b)
+            - (a - 1) * digamma(a)
+            - (b - 1) * digamma(b)
+            + (a + b - 2) * digamma(a + b)
+        )
+        return jnp.sum(h)
+
+    def clamp(self, params):
+        lo, hi = float(np.log(1e-3)), float(np.log(1e4))
+        return {
+            "raw_a": jnp.clip(params["raw_a"], lo, hi),
+            "raw_b": jnp.clip(params["raw_b"], lo, hi),
+        }
+
+
+def family_for_support(support) -> Family:
+    """Support-matched family choice (reference: vi.rs:119-126, FG-17)."""
+    if support.kind == "real":
+        return NormalFamily()
+    if support.kind == "positive":
+        return LogNormalFamily()
+    if support.kind == "unit":
+        return BetaFamily()
+    if support.kind == "interval" and support.low is not None:
+        # affine-warped Beta
+        return _IntervalBetaFamily(support.low, support.high)
+    raise GuideError(
+        ErrorCode.NOT_STAGEABLE,
+        f"no mean-field family for support {support.kind!r} "
+        "(discrete latents are rejected — reference: vi.rs:577-600; "
+        "marginalize them or use MH/SMC)",
+        {"support": support.kind},
+    )
+
+
+class _IntervalBetaFamily(BetaFamily):
+    def __init__(self, low, high):
+        self.low = low
+        self.high = high
+
+    def sample(self, key, params, shape):
+        u = super().sample(key, params, shape)
+        return self.low + (self.high - self.low) * u
+
+    def log_prob(self, params, x):
+        u = (x - self.low) / (self.high - self.low)
+        return super().log_prob(params, u) - jnp.log(self.high - self.low)
+
+    def entropy(self, params):
+        return super().entropy(params) + jnp.log(self.high - self.low) * jnp.size(
+            params["raw_a"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Guide (reference: MeanFieldGuide, vi.rs:520-630)
+# ---------------------------------------------------------------------------
+
+
+class MeanFieldGuide:
+    """Address-keyed mean-field guide over the continuous latents of a
+    staged model. Params live in one pytree (address → family params), so the
+    whole guide optimizes with a single optax/grad step."""
+
+    def __init__(self, staged: StagedModel):
+        if staged.discrete_sites:
+            raise GuideError(
+                ErrorCode.NOT_STAGEABLE,
+                "model has discrete latent sites; mean-field VI requires "
+                "continuous latents (reference: vi.rs:577-600)",
+                {"discrete": [s.address for s in staged.discrete_sites]},
+            )
+        self.staged = staged
+        self.sites = staged.continuous_sites
+        self.families: Dict[str, Family] = {
+            s.address: family_for_support(s.support) for s in self.sites
+        }
+
+    def init_params(self) -> Dict[str, Dict[str, Any]]:
+        return {
+            s.address: self.families[s.address].init(s.shape) for s in self.sites
+        }
+
+    def sample_latents(self, key, params) -> Dict[str, Any]:
+        """One reparameterized draw of all sites. Address-sorted key split →
+        deterministic given the key (reference: vi.rs:609-630)."""
+        out = {}
+        for s in self.sites:  # already address-sorted by staging
+            from ..core.rng import site_key
+
+            out[s.address] = self.families[s.address].sample(
+                site_key(key, s.address), params[s.address], s.shape
+            )
+        return out
+
+    def log_q(self, params, latents):
+        total = jnp.zeros((), settings.real_dtype())
+        for s in self.sites:
+            total = total + jnp.sum(
+                self.families[s.address].log_prob(params[s.address], latents[s.address])
+            )
+        return total
+
+    def entropy(self, params):
+        """Analytic guide entropy — removes the entropy term's MC noise from
+        the ELBO gradient (variance reduction over the reference's sampled
+        log q term)."""
+        total = jnp.zeros((), settings.real_dtype())
+        for s in self.sites:
+            total = total + self.families[s.address].entropy(params[s.address])
+        return total
+
+    def clamp(self, params):
+        return {
+            s.address: self.families[s.address].clamp(params[s.address])
+            for s in self.sites
+        }
+
+    def sample_trace(self, key, params):
+        """Guide draw replayed through the model → full Trace."""
+        latents = self.sample_latents(key, params)
+        return self.staged.replay_trace(latents)
+
+
+# ---------------------------------------------------------------------------
+# ELBO + optimization (reference: vi.rs:639-923)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VIConfig:
+    """Reference: VIConfig (vi.rs:728-759)."""
+
+    n_iterations: int = 1000
+    n_samples: int = 16  # MC samples per ELBO estimate
+    learning_rate: float = 0.05
+    decay: float = 0.0  # Robbins-Monro exponent; 0 → constant-rate Adam
+    plateau_window: int = 100
+    plateau_tol: float = 1e-4
+    check_every: int = 50
+    optimizer: str = "adam"  # "adam" | "sgd"
+
+
+@dataclass
+class VIResult:
+    """Reference: vi.rs:763-772."""
+
+    params: Dict[str, Any]
+    elbo_history: np.ndarray
+    converged: bool
+    n_iterations_run: int
+    guide: MeanFieldGuide
+
+    def final_elbo(self) -> float:
+        return float(self.elbo_history[-1])
+
+    def posterior_sample(self, key, n: int = 1):
+        draws = jax.vmap(lambda k: self.guide.sample_latents(k, self.params))(
+            chain_keys(key, n)
+        )
+        return draws
+
+
+def elbo(key, guide: MeanFieldGuide, params, n_samples: int):
+    """MC ELBO = E_q[log p(x, z) − log q(z)] with reparameterized draws
+    (reference estimator: vi.rs:639-669; gradients now exact pathwise)."""
+
+    def one(k):
+        latents = guide.sample_latents(k, params)
+        lp = guide.staged.log_joint(latents)
+        lq = guide.log_q(params, latents)
+        return lp - lq
+
+    return jnp.mean(jax.vmap(one)(chain_keys(key, n_samples)))
+
+
+def elbo_analytic_entropy(key, guide: MeanFieldGuide, params, n_samples: int):
+    """ELBO = E_q[log p] + H(q) with the entropy computed analytically —
+    same expectation as ``elbo`` but with strictly lower gradient variance
+    (the optimization objective)."""
+
+    def one(k):
+        latents = guide.sample_latents(k, params)
+        return guide.staged.log_joint(latents)
+
+    return jnp.mean(jax.vmap(one)(chain_keys(key, n_samples))) + guide.entropy(params)
+
+
+def estimate_elbo(key, model_fn=None, n_samples: int = 128, *, staged=None,
+                  model_args: tuple = ()):
+    """ELBO of the prior-initialized guide — a model-fit sanity metric
+    (reference: estimate_elbo, vi.rs:905-923, FG-46)."""
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    guide = MeanFieldGuide(staged)
+    return float(np.asarray(elbo(key, guide, guide.init_params(), n_samples)))
+
+
+def optimize_meanfield_vi(
+    key,
+    model_fn: Optional[Callable] = None,
+    config: VIConfig = VIConfig(),
+    *,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+) -> VIResult:
+    """Mean-field VI driver (reference: optimize_meanfield_vi_with_config,
+    vi.rs:784-864) with pathwise gradients, Adam or Robbins-Monro SGA,
+    parameter clamps, and ELBO-plateau early stopping (FG-44).
+
+    Runs in jit-compiled chunks of ``check_every`` iterations; the plateau
+    check happens on host between chunks (one compile, early exit allowed).
+    """
+    import optax
+
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    guide = MeanFieldGuide(staged)
+    params = guide.init_params()
+
+    if config.optimizer == "adam":
+        # anneal: Adam's scale-free steps otherwise jitter around the optimum
+        # at the stationary phase (the Robbins-Monro condition the reference
+        # satisfies via decayed steps, vi.rs:824-825). Polynomial decay keeps
+        # late-phase motion alive for weakly-curved directions.
+        t0 = max(config.n_iterations / 10.0, 1.0)
+        schedule = lambda t: config.learning_rate * jnp.power(1.0 + t / t0, -0.6)
+        tx = optax.adam(schedule)
+    else:
+        if config.decay > 0:
+            schedule = lambda t: config.learning_rate * jnp.power(t + 1.0, -config.decay)
+            tx = optax.sgd(schedule)
+        else:
+            tx = optax.sgd(config.learning_rate)
+    opt_state = tx.init(params)
+
+    loss_fn = lambda p, k: -elbo_analytic_entropy(k, guide, p, config.n_samples)
+
+    @jax.jit
+    def chunk(params, opt_state, key):
+        def body(carry, k):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, k)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = guide.clamp(params)
+            return (params, opt_state), -loss
+
+        keys = jax.random.split(key, config.check_every)
+        (params, opt_state), elbos = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, elbos
+
+    history: List[float] = []
+    converged = False
+    n_chunks = max(1, config.n_iterations // config.check_every)
+    for c in range(n_chunks):
+        params, opt_state, elbos = chunk(
+            params, opt_state, jax.random.fold_in(key, c)
+        )
+        history.extend(np.asarray(elbos).tolist())
+        w = config.plateau_window
+        if len(history) >= 2 * w:
+            recent = np.mean(history[-w:])
+            prev = np.mean(history[-2 * w : -w])
+            denom = max(abs(prev), 1.0)
+            if abs(recent - prev) / denom < config.plateau_tol:
+                converged = True
+                break
+
+    return VIResult(
+        params=params,
+        elbo_history=np.asarray(history),
+        converged=converged,
+        n_iterations_run=len(history),
+        guide=guide,
+    )

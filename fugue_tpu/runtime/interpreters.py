@@ -148,6 +148,27 @@ class ValuesHandler(_RecordingHandler):
         return value
 
 
+class PartialValuesHandler(_RecordingHandler):
+    """Replay from a plain value dict where present, sample fresh otherwise
+    — the dict-based analog of ReplayHandler (used by ABC-SMC to pin
+    parameter sites while redrawing simulator noise sites)."""
+
+    def __init__(self, key, values: Dict[str, Any]):
+        super().__init__()
+        self.key = key
+        self.values = values
+
+    def on_sample(self, addr, dist, sample_shape):
+        self._check_duplicate(addr)
+        if addr in self.values:
+            value = self.values[addr]
+        else:
+            value = dist.sample(site_key(self.key, addr), sample_shape)
+        lp = self._record(addr, value, dist.log_prob(value), dist.support, False)
+        self.trace.log_prior = self.trace.log_prior + lp
+        return value
+
+
 class ScoreGivenTrace(_RecordingHandler):
     """Score a model against a fixed trace: no sampling; every latent must
     exist in the base trace; fresh log-probs are stored (FG-48).

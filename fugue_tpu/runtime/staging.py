@@ -159,6 +159,50 @@ class StagedModel:
         )
         return trace
 
+    def replay(self, latents: Dict[str, Any]):
+        """Replay with given latents → (model return value, trace). The
+        return value is the staged analog of ``run(...).0`` — for ABC it is
+        the simulated dataset."""
+        return run(ValuesHandler(latents), self.model_fn, *self.args, **self.kwargs)
+
+    def simulate(self, key):
+        """Fresh prior execution → (model return value, latent dict). The
+        likelihood-free simulator primitive (jit/vmap-able)."""
+        result, trace = run(
+            PriorHandler(key), self.model_fn, *self.args, **self.kwargs
+        )
+        return result, trace.latents()
+
+    def replay_partial(self, key, values: Dict[str, Any]):
+        """Replay with SOME latents pinned to ``values``; the rest (e.g.
+        simulator noise sites) are drawn fresh from the prior — the staged
+        ReplayHandler semantics (interpreters.rs:408-427) as an array
+        program. Returns (result, trace)."""
+        from .interpreters import PartialValuesHandler
+
+        return run(
+            PartialValuesHandler(key, values),
+            self.model_fn, *self.args, **self.kwargs,
+        )
+
+    # -- constrained flat layout (no transforms; ABC perturbation space) ----
+
+    def flatten_constrained(self, latents: Dict[str, Any]):
+        parts = [
+            jnp.ravel(jnp.asarray(latents[s.address], settings.real_dtype()))
+            for s in self.continuous_sites
+        ]
+        if not parts:
+            return jnp.zeros((0,), settings.real_dtype())
+        return jnp.concatenate(parts)
+
+    def unflatten_constrained(self, vec) -> Dict[str, Any]:
+        out = {}
+        for s in self.continuous_sites:
+            lo, hi = self._offsets[s.address]
+            out[s.address] = vec[lo:hi].reshape(s.shape)
+        return out
+
     # -- flat unconstrained parameterization (continuous sites) -------------
 
     def constrain(self, z) -> Tuple[Dict[str, Any], Any]:
