@@ -53,7 +53,10 @@ class HMCConfig:
     adapt_step_size: bool = True
     adapt_mass: bool = True
     max_delta_energy: float = 1000.0  # divergence threshold
-    jitter_steps: bool = False  # uniform jitter of L to avoid resonances
+    # per-transition step-size jitter eps·U(1-jitter, 1): breaks the periodic
+    # resonance of fixed-length trajectories on near-Gaussian targets (the
+    # fixed-L pathology NUTS avoids; see nuts.py for the full fix)
+    jitter: float = 0.2
 
 
 # ---------------------------------------------------------------------------
@@ -360,13 +363,18 @@ def hmc_chain(
             eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
         da0 = DualAveragingState.init(eps0)
 
-        vstep = jax.vmap(
-            lambda q, k, eps, im: hmc_transition(
-                potential, q, k, eps, config.n_leapfrog, im,
+        def jittered_step(q, k, eps, im):
+            k_j, k_t = jax.random.split(k)
+            if config.jitter > 0:
+                eps = eps * jax.random.uniform(
+                    k_j, (), dt, 1.0 - config.jitter, 1.0
+                )
+            return hmc_transition(
+                potential, q, k_t, eps, config.n_leapfrog, im,
                 config.max_delta_energy,
-            ),
-            in_axes=(0, 0, None, None),
-        )
+            )
+
+        vstep = jax.vmap(jittered_step, in_axes=(0, 0, None, None))
 
         def warm_body(carry, k):
             q, da, welford, inv_mass = carry

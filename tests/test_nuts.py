@@ -1,0 +1,135 @@
+"""NUTS correctness tests: posterior recovery, adaptive depth behavior,
+divergence flags, funnel geometry, and efficiency over fixed-L HMC on
+ill-matched trajectory lengths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fugue_tpu as ft
+from fugue_tpu.inference.nuts import NUTSConfig, nuts_chain, nuts_transition
+from fugue_tpu.inference.mcmc_utils import ess_multichain, split_r_hat
+
+
+def test_standard_normal_posterior():
+    def model():
+        return ft.sample("x", ft.Normal(0.0, 1.0))
+
+    res = nuts_chain(
+        jax.random.PRNGKey(0), model, n_samples=1000, n_warmup=500, n_chains=8
+    )
+    xs = np.asarray(res.samples["x"])
+    e = float(ess_multichain(xs))
+    assert abs(xs.mean()) < 3.5 / np.sqrt(max(e, 1))
+    assert xs.std() == pytest.approx(1.0, rel=0.05)
+    assert float(split_r_hat(xs)) < 1.01
+    assert e > 0.5 * xs.size  # NUTS on a Gaussian: near-iid draws
+
+
+def test_correlated_gaussian():
+    rho = 0.9
+
+    def model():
+        x = ft.sample("x", ft.Normal(0.0, 1.0))
+        y = ft.sample("y", ft.Normal(rho * x, float(np.sqrt(1 - rho**2))))
+        return x, y
+
+    res = nuts_chain(
+        jax.random.PRNGKey(1), model, n_samples=1000, n_warmup=500, n_chains=8
+    )
+    xs = np.asarray(res.samples["x"])
+    ys = np.asarray(res.samples["y"])
+    assert np.cov(xs.ravel(), ys.ravel())[0, 1] == pytest.approx(rho, rel=0.1)
+    assert float(split_r_hat(xs)) < 1.01
+    assert np.asarray(res.divergences).mean() < 0.01
+
+
+def test_conjugate_posterior():
+    ys = jnp.array([1.2, 0.8, 1.5, 0.9, 1.1])
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("ys", ft.Normal(mu, 1.0), ys)
+        return mu
+
+    tau = 0.25 + 5.0
+    res = nuts_chain(
+        jax.random.PRNGKey(2), model, n_samples=1500, n_warmup=500, n_chains=8
+    )
+    mus = np.asarray(res.samples["mu"])
+    assert mus.mean() == pytest.approx(float(ys.sum()) / tau, abs=0.02)
+    assert mus.std() == pytest.approx(1 / np.sqrt(tau), rel=0.06)
+
+
+def test_depth_adapts_to_geometry():
+    """Wide target needs longer trajectories than narrow one at the same
+    step size → deeper trees."""
+    def narrow():
+        return ft.sample("x", ft.Normal(0.0, 1.0))
+
+    def wide():
+        x = ft.sample("x", ft.Normal(0.0, 1.0))
+        y = ft.sample("y", ft.Normal(0.0, 30.0))
+        return x, y
+
+    r_n = nuts_chain(
+        jax.random.PRNGKey(3), narrow, n_samples=200, n_warmup=200,
+        config=NUTSConfig(adapt_mass=False), n_chains=4,
+    )
+    r_w = nuts_chain(
+        jax.random.PRNGKey(3), wide, n_samples=200, n_warmup=200,
+        config=NUTSConfig(adapt_mass=False), n_chains=4,
+    )
+    assert float(np.asarray(r_w.tree_depths).mean()) > float(
+        np.asarray(r_n.tree_depths).mean()
+    )
+
+
+def test_eight_schools_funnel():
+    """Non-centered eight schools (BASELINE config 3): R-hat < 1.01 and mu
+    near the Stan reference value ~4.4."""
+    y = jnp.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def eight_schools():
+        mu = ft.sample("mu", ft.Normal(0.0, 5.0))
+        tau = ft.sample("tau", ft.LogNormal(0.5, 1.0))
+        theta_raw = ft.sample("theta_raw", ft.Normal(0.0, 1.0), sample_shape=(8,))
+        ft.observe("y", ft.Normal(mu + tau * theta_raw, sigma), y)
+        return mu
+
+    res = nuts_chain(
+        jax.random.PRNGKey(4), eight_schools, n_samples=1000, n_warmup=1000,
+        n_chains=8,
+    )
+    mus = np.asarray(res.samples["mu"])
+    assert float(split_r_hat(mus)) < 1.01
+    assert 2.5 < mus.mean() < 6.5
+    assert np.asarray(res.divergences).mean() < 0.05
+
+
+def test_divergences_on_pathological_step():
+    def model():
+        return ft.sample("x", ft.Normal(0.0, 1e-4))
+
+    res = nuts_chain(
+        jax.random.PRNGKey(5), model, n_samples=50, n_warmup=0,
+        config=NUTSConfig(step_size=10.0, adapt_step_size=False),
+        n_chains=2,
+    )
+    assert np.asarray(res.divergences).mean() > 0.5
+
+
+def test_single_transition_shape_and_determinism():
+    def potential(z):
+        return 0.5 * jnp.sum(z * z)
+
+    q = jnp.zeros(3)
+    im = jnp.ones(3)
+    q1, info1 = nuts_transition(potential, q, jax.random.PRNGKey(0), 0.5, im)
+    q2, info2 = nuts_transition(potential, q, jax.random.PRNGKey(0), 0.5, im)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    assert q1.shape == (3,)
+    assert 0.0 <= float(info1["accept_prob"]) <= 1.0
+    assert int(info1["depth"]) >= 1
