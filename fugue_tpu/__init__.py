@@ -73,6 +73,66 @@ from .core.model import (
 from .core.rng import address_seed, chain_keys, site_key
 from .core import transforms
 
+# L4: inference engines + diagnostics (lazy-loaded heavy modules are fine to
+# import eagerly here: they only define functions)
+from .inference.mh import MHResult, MHState, adaptive_mcmc_chain, mh_step
+from .inference.hmc import (
+    HMCConfig,
+    HMCResult,
+    HmcSession,
+    hmc_chain,
+    hmc_transition,
+)
+from .inference.nuts import NUTSConfig, NUTSResult, nuts_chain, nuts_transition
+from .inference.smc import (
+    SMCConfig,
+    SMCResult,
+    adaptive_smc,
+    importance_reweight,
+)
+from .inference.vi import (
+    GuideError,
+    MeanFieldGuide,
+    VIConfig,
+    VIResult,
+    elbo,
+    estimate_elbo,
+    optimize_meanfield_vi,
+)
+from .inference.abc import (
+    ABCError,
+    ABCResult,
+    ABCSMCConfig,
+    SummaryStatsDistance,
+    abc_rejection,
+    abc_scalar_summary,
+    abc_smc,
+    abc_smc_weighted,
+    euclidean_distance,
+    manhattan_distance,
+)
+from .inference.gibbs import GibbsResult, gibbs_chain
+from .inference.diagnostics import (
+    ParameterSummary,
+    print_diagnostics,
+    summarize_samples,
+)
+from .inference.mcmc_utils import (
+    ess,
+    ess_multichain,
+    geweke,
+    r_hat,
+    split_r_hat,
+)
+from .inference.validation import (
+    ConjugateBetaBernoulliConfig,
+    ConjugateNormalConfig,
+    ValidationResult,
+    ks_two_sample,
+    validate_beta_bernoulli,
+    validate_conjugate_normal,
+)
+
 # L3: runtime — handlers, interpreters, traces, staging
 from .runtime.handler import Handler, run
 from .runtime.interpreters import (

@@ -1,0 +1,171 @@
+"""HMC-within-Gibbs for mixed continuous + discrete models.
+
+The reference composes HMC with Metropolis-within-Gibbs by holding discrete
+sites fixed during Hamiltonian updates (reference: src/inference/hmc.rs:69-71)
+and moving them with single-site MH elsewhere. This module makes that
+composition first-class and vectorized (SURVEY.md §7 hard part 2):
+
+one sweep =
+  1. an HMC transition on the unconstrained continuous block, conditioned on
+     the current discrete values (autodiff forces; discrete enters the
+     potential as data);
+  2. a systematic scan of single-site MH updates over every discrete site
+     (support-detected proposals from the MH engine), conditioned on the
+     current continuous values.
+
+Everything is one jit-compiled program vmapped over chains. For enumerable
+discrete structure (small mixtures), prefer exact marginalization with
+``factor(logsumexp(...))`` — see tests/test_smc.py's GMM — which is both
+exact and faster; Gibbs covers the non-enumerable cases (counts, large
+cardinality).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import settings
+from ..core.rng import chain_keys
+from ..runtime.staging import StagedModel, stage
+from .hmc import (
+    DualAveragingState,
+    HMCConfig,
+    dual_averaging_update,
+    find_reasonable_epsilon,
+    hmc_transition,
+)
+from .mh import make_site_proposal
+
+
+@dataclass
+class GibbsResult:
+    samples: Dict[str, Any]  # all sites: (n_chains, n_samples, *shape)
+    accept_prob_hmc: Any
+    accept_rate_discrete: Any
+    step_size: float
+
+
+def gibbs_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    config: HMCConfig = HMCConfig(n_leapfrog=16),
+    *,
+    n_chains: int = 1,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete_scale: float = 1.0,
+) -> GibbsResult:
+    """Alternating HMC (continuous block) + single-site MH (discrete sites)."""
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    dt = settings.real_dtype()
+    d = staged.dim
+    disc_sites = staged.discrete_sites
+    if d == 0:
+        raise ValueError("no continuous sites; use adaptive_mcmc_chain")
+
+    proposals = {s.address: make_site_proposal(s.support) for s in disc_sites}
+
+    def potential(z, disc):
+        return staged.potential(z, disc)
+
+    def full_log_joint(z, disc):
+        cont, logdet = staged.constrain(z)
+        latents = dict(cont)
+        latents.update(disc)
+        return staged.log_joint(latents) + logdet
+
+    def init_one(k):
+        latents = staged.sample_prior(k)
+        disc = {s.address: latents[s.address] for s in disc_sites}
+        z = staged.unconstrain(latents)
+        return z.astype(dt), disc
+
+    def sweep(state, k, eps, adapt_placeholder):
+        z, disc = state
+        k_hmc, k_disc = jax.random.split(k)
+        z_new, info = hmc_transition(
+            lambda zz: potential(zz, disc), z, k_hmc, eps,
+            config.n_leapfrog, jnp.ones((d,), dt), config.max_delta_energy,
+        )
+
+        lj = full_log_joint(z_new, disc)
+        n_acc = jnp.zeros((), dt)
+        for j, s in enumerate(disc_sites):
+            kj, k_prop, k_acc = jax.random.split(
+                jax.random.fold_in(k_disc, j), 3
+            )
+            cand, corr = proposals[s.address](
+                k_prop, disc[s.address], jnp.asarray(discrete_scale, dt)
+            )
+            disc_prop = dict(disc)
+            disc_prop[s.address] = cand
+            lj_prop = full_log_joint(z_new, disc_prop)
+            log_u = jnp.log(jax.random.uniform(k_acc, (), dt, 1e-38, 1.0))
+            accept = log_u < (lj_prop - lj + corr)
+            disc = {
+                a: jnp.where(accept, disc_prop[a], disc[a]) for a in disc
+            }
+            lj = jnp.where(accept, lj_prop, lj)
+            n_acc = n_acc + accept.astype(dt)
+        acc_rate = n_acc / max(len(disc_sites), 1)
+        return (z_new, disc), info.accept_prob, acc_rate
+
+    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
+
+    @jax.jit
+    def drive(k_init, k_eps, k_run):
+        zs, discs = jax.vmap(init_one)(chain_keys(k_init, n_chains))
+        if config.step_size is not None:
+            eps0 = jnp.asarray(config.step_size, dt)
+        else:
+            d0 = {a: v[0] for a, v in discs.items()}
+            eps0 = find_reasonable_epsilon(
+                lambda zz: potential(zz, d0), zs[0], k_eps, jnp.ones((d,), dt)
+            )
+        da0 = DualAveragingState.init(eps0)
+
+        vsweep = jax.vmap(sweep, in_axes=((0, 0), 0, None, None))
+
+        def warm_body(carry, k):
+            state, da = carry
+            keys = jax.random.split(k, n_chains)
+            new_state, ap, _ = vsweep(state, keys, jnp.exp(da.log_eps), None)
+            da_new = dual_averaging_update(
+                da, jnp.mean(ap), config.target_accept
+            )
+            return (new_state, da_new), None
+
+        carry = ((zs, discs), da0)
+        if n_warmup > 0:
+            wkeys = jax.random.split(jax.random.fold_in(k_run, 0), n_warmup)
+            carry, _ = jax.lax.scan(warm_body, carry, wkeys)
+        state, da_w = carry
+        eps_f = jnp.exp(da_w.log_eps_bar) if n_warmup > 0 else eps0
+
+        def sample_body(state, k):
+            keys = jax.random.split(k, n_chains)
+            new_state, ap, disc_acc = vsweep(state, keys, eps_f, None)
+            z_new, disc_new = new_state
+            cont = jax.vmap(lambda z: staged.constrain(z)[0])(z_new)
+            return new_state, (cont, disc_new, ap, disc_acc)
+
+        skeys = jax.random.split(jax.random.fold_in(k_run, 1), n_samples)
+        _, (cont, disc, aps, dacc) = jax.lax.scan(sample_body, state, skeys)
+        return cont, disc, aps, dacc, eps_f
+
+    cont, disc, aps, dacc, eps_f = drive(k_init, k_eps, k_run)
+    samples = {a: jnp.moveaxis(v, 0, 1) for a, v in {**cont, **disc}.items()}
+    return GibbsResult(
+        samples=samples,
+        accept_prob_hmc=jnp.mean(aps, axis=0),
+        accept_rate_discrete=jnp.mean(dacc),
+        step_size=float(np.asarray(eps_f)),
+    )

@@ -57,6 +57,10 @@ class HMCConfig:
     # resonance of fixed-length trajectories on near-Gaussian targets (the
     # fixed-L pathology NUTS avoids; see nuts.py for the full fix)
     jitter: float = 0.2
+    # "uniform": z0 ~ U(-2, 2)^d in unconstrained space (Stan's default —
+    # robust to heavy-tailed priors whose extreme draws strand chains in
+    # divergent regions); "prior": unconstrained prior draw
+    init: str = "uniform"
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +152,20 @@ def welford_variance(state: WelfordState, regularize: bool = True):
         n = state.count
         var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
     return jnp.maximum(var, 1e-10)
+
+
+def welford_merge_across(state: WelfordState, axis_name: str) -> WelfordState:
+    """Merge per-shard Welford moments across a named mesh axis (Chan
+    parallel combine via psum) — the collective form of cross-chain mass
+    adaptation for sharded chain batches."""
+    total = jax.lax.psum(state.count, axis_name)
+    mean_g = jax.lax.psum(state.count * state.mean, axis_name) / jnp.maximum(
+        total, 1.0
+    )
+    m2_g = jax.lax.psum(
+        state.m2 + state.count * (state.mean - mean_g) ** 2, axis_name
+    )
+    return WelfordState(count=total, mean=mean_g, m2=m2_g)
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +317,157 @@ def find_reasonable_epsilon(
 # ---------------------------------------------------------------------------
 
 
+def _discrete_cache_key(discrete):
+    return None if discrete is None else id(discrete)
+
+
+def initial_positions(staged: StagedModel, key, n_chains: int, init: str):
+    """Batch of unconstrained starting positions."""
+    dt = settings.real_dtype()
+    if init == "uniform":
+        return jax.random.uniform(key, (n_chains, staged.dim), dt, -2.0, 2.0)
+    return jax.vmap(staged.initial_position)(chain_keys(key, n_chains)).astype(dt)
+
+
+def constrain_positions(staged: StagedModel, positions):
+    """(chains, samples, d) unconstrained → per-site constrained arrays,
+    via a cached jitted kernel."""
+    f = staged.cached_kernel(
+        ("constrain_batch2",),
+        lambda: jax.jit(
+            jax.vmap(jax.vmap(lambda z: staged.constrain(z)[0]))
+        ),
+    )
+    return f(positions)
+
+
+def make_hmc_drive(
+    staged: StagedModel,
+    config: HMCConfig,
+    n_chains: int,
+    n_samples: int,
+    n_warmup: int,
+    *,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axis: Optional[str] = None,
+):
+    """Build the pure warmup+sampling program ``(q0, k_eps, k_run) → arrays``.
+
+    A module-level factory so the SAME program runs (a) jitted on one chip
+    with a vmapped chain batch, or (b) inside ``shard_map`` with the chain
+    batch sharded over mesh axis ``chain_axis`` — where the adaptation
+    statistics (acceptance pmean, initial epsilon, Welford mass moments)
+    become ICI collectives (parallel/sharded.py).
+    """
+    dt = settings.real_dtype()
+    d = staged.dim
+
+    def potential(z):
+        return staged.potential(z, discrete)
+
+    def cross_mean(x):
+        if chain_axis is not None:
+            return jax.lax.pmean(jnp.mean(x), chain_axis)
+        return jnp.mean(x)
+
+    inv_mass0 = jnp.ones((d,), dt)
+
+    def drive(q0, k_eps, k_run):
+        if config.step_size is not None:
+            eps0 = jnp.asarray(config.step_size, dt)
+        else:
+            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
+            if chain_axis is not None:
+                # consensus initial step size across shards
+                eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
+        da0 = DualAveragingState.init(eps0)
+
+        def jittered_step(q, k, eps, im):
+            k_j, k_t = jax.random.split(k)
+            if config.jitter > 0:
+                eps = eps * jax.random.uniform(
+                    k_j, (), dt, 1.0 - config.jitter, 1.0
+                )
+            return hmc_transition(
+                potential, q, k_t, eps, config.n_leapfrog, im,
+                config.max_delta_energy,
+            )
+
+        vstep = jax.vmap(jittered_step, in_axes=(0, 0, None, None))
+
+        def warm_body(carry, k):
+            q, da, welford, inv_mass, ema = carry
+            eps = jnp.exp(da.log_eps) if config.adapt_step_size else jnp.exp(da.mu - jnp.log(10.0))
+            keys = jax.random.split(k, n_chains)
+            q_new, info = vstep(q, keys, eps, inv_mass)
+            a_mean = cross_mean(info.accept_prob)
+            da_new = dual_averaging_update(da, a_mean, config.target_accept)
+            welford_new = welford_push_batch(welford, q_new)
+            ema_new = 0.9 * ema + 0.1 * info.accept_prob
+            return (q_new, da_new, welford_new, inv_mass, ema_new), a_mean
+
+        def rescue_stuck(q, ema, k):
+            """Warmup-only cross-chain rescue: a chain whose acceptance EMA
+            collapsed (stranded on a gradient cliff where every proposal
+            diverges) copies the position of a donor chain drawn with
+            probability ∝ its EMA. Affects only warmup, so the stationary
+            phase is untouched; with many chains this makes the warmup
+            robust to heavy-tailed inits the way a single chain can't be."""
+            donors = jax.random.categorical(
+                k, jnp.log(ema + 1e-6), shape=(n_chains,)
+            )
+            stuck = ema < 0.1
+            return jnp.where(stuck[:, None], q[donors], q)
+
+        n_half = n_warmup // 2
+
+        carry = (q0, da0, WelfordState.init(d), inv_mass0,
+                 jnp.full((n_chains,), 0.5, dt))
+        if n_warmup > 0:
+            warm_keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
+            carry, _ = jax.lax.scan(warm_body, carry, warm_keys1)
+            q1, da1, welford1, _, ema1 = carry
+            q1 = rescue_stuck(q1, ema1, jax.random.fold_in(k_run, 91))
+            if config.adapt_mass:
+                # midpoint: mass ← regularized variances; epsilon re-tune
+                # (reference: hmc.rs:885-908). Sharded: merge shard moments
+                # first so every device adopts the same mass matrix.
+                if chain_axis is not None:
+                    welford1 = welford_merge_across(welford1, chain_axis)
+                inv_mass1 = welford_variance(welford1)
+                da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
+            else:
+                inv_mass1 = inv_mass0
+            carry = (q1, da1, WelfordState.init(d), inv_mass1,
+                     jnp.full((n_chains,), 0.5, dt))
+            warm_keys2 = jax.random.split(
+                jax.random.fold_in(k_run, 1), max(n_warmup - n_half, 1)
+            )
+            carry, _ = jax.lax.scan(warm_body, carry, warm_keys2)
+            q2, da2, w2, im2, ema2 = carry
+            q2 = rescue_stuck(q2, ema2, jax.random.fold_in(k_run, 92))
+            carry = (q2, da2, w2, im2, ema2)
+
+        q_w, da_w, _, inv_mass_f, _ = carry
+        eps_final = (
+            jnp.exp(da_w.log_eps_bar)
+            if (config.adapt_step_size and n_warmup > 0)
+            else jnp.exp(da_w.log_eps)
+        )
+
+        def sample_body(q, k):
+            keys = jax.random.split(k, n_chains)
+            q_new, info = vstep(q, keys, eps_final, inv_mass_f)
+            lj = jax.vmap(lambda z: -potential(z))(q_new)
+            return q_new, (q_new, lj, info.accept_prob, info.divergent)
+
+        sample_keys = jax.random.split(jax.random.fold_in(k_run, 2), n_samples)
+        q_f, (qs, ljs, aps, divs) = jax.lax.scan(sample_body, q_w, sample_keys)
+        return q_f, qs, ljs, aps, divs, eps_final, inv_mass_f
+
+    return drive
+
+
 @dataclass
 class HMCResult:
     samples: Dict[str, Any]  # constrained, addr -> (n_chains, n_samples, ...)
@@ -337,106 +506,32 @@ def hmc_chain(
     if staged is None:
         staged = stage(model_fn, *model_args)
     dt = settings.real_dtype()
-    d = staged.dim
-    if d == 0:
+    if staged.dim == 0:
         raise ValueError("model has no continuous latent sites; use MH")
 
-    def potential(z):
-        return staged.potential(z, discrete)
-
-    def cross_mean(x):
-        if chain_axis is not None:
-            return jax.lax.pmean(jnp.mean(x), chain_axis)
-        return jnp.mean(x)
-
-    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 7), 3)
-    q0 = jax.vmap(lambda k: staged.initial_position(k))(chain_keys(k_init, n_chains))
-    q0 = q0.astype(dt)
-
-    inv_mass0 = jnp.ones((d,), dt)
-
-    @jax.jit
-    def drive(q0, k_eps, k_run):
-        if config.step_size is not None:
-            eps0 = jnp.asarray(config.step_size, dt)
-        else:
-            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
-        da0 = DualAveragingState.init(eps0)
-
-        def jittered_step(q, k, eps, im):
-            k_j, k_t = jax.random.split(k)
-            if config.jitter > 0:
-                eps = eps * jax.random.uniform(
-                    k_j, (), dt, 1.0 - config.jitter, 1.0
-                )
-            return hmc_transition(
-                potential, q, k_t, eps, config.n_leapfrog, im,
-                config.max_delta_energy,
-            )
-
-        vstep = jax.vmap(jittered_step, in_axes=(0, 0, None, None))
-
-        def warm_body(carry, k):
-            q, da, welford, inv_mass = carry
-            eps = jnp.exp(da.log_eps) if config.adapt_step_size else jnp.exp(da.mu - jnp.log(10.0))
-            keys = jax.random.split(k, n_chains)
-            q_new, info = vstep(q, keys, eps, inv_mass)
-            a_mean = cross_mean(info.accept_prob)
-            da_new = dual_averaging_update(da, a_mean, config.target_accept)
-            welford_new = welford_push_batch(welford, q_new)
-            return (q_new, da_new, welford_new, inv_mass), a_mean
-
-        n_half = n_warmup // 2
-
-        carry = (q0, da0, WelfordState.init(d), inv_mass0)
-        if n_warmup > 0:
-            warm_keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
-            carry, _ = jax.lax.scan(warm_body, carry, warm_keys1)
-            q1, da1, welford1, _ = carry
-            if config.adapt_mass:
-                # midpoint: mass ← regularized variances; epsilon re-tune
-                # (reference: hmc.rs:885-908)
-                inv_mass1 = welford_variance(welford1)
-                da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
-            else:
-                inv_mass1 = inv_mass0
-            carry = (q1, da1, WelfordState.init(d), inv_mass1)
-            warm_keys2 = jax.random.split(
-                jax.random.fold_in(k_run, 1), max(n_warmup - n_half, 1)
-            )
-            carry, _ = jax.lax.scan(warm_body, carry, warm_keys2)
-
-        q_w, da_w, _, inv_mass_f = carry
-        eps_final = (
-            jnp.exp(da_w.log_eps_bar)
-            if (config.adapt_step_size and n_warmup > 0)
-            else jnp.exp(da_w.log_eps)
+    def build_drive():
+        inner = make_hmc_drive(
+            staged, config, n_chains, n_samples, n_warmup,
+            discrete=discrete, chain_axis=chain_axis,
         )
 
-        def sample_body(q, k):
-            keys = jax.random.split(k, n_chains)
-            q_new, info = vstep(q, keys, eps_final, inv_mass_f)
-            lj = jax.vmap(lambda z: -potential(z))(q_new)
-            return q_new, (q_new, lj, info.accept_prob, info.divergent)
+        def full(k):
+            k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
+            q0 = initial_positions(staged, k_init, n_chains, config.init)
+            return inner(q0, k_eps, k_run)
 
-        sample_keys = jax.random.split(jax.random.fold_in(k_run, 2), n_samples)
-        q_f, (qs, ljs, aps, divs) = jax.lax.scan(sample_body, q_w, sample_keys)
-        return q_f, qs, ljs, aps, divs, eps_final, inv_mass_f
+        return jax.jit(full)
 
-    q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = drive(q0, k_eps, k_run)
+    drive = staged.cached_kernel(
+        ("hmc_drive", config, n_chains, n_samples, n_warmup, chain_axis,
+         _discrete_cache_key(discrete)),
+        build_drive,
+    )
+    q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = drive(key)
 
     # constrain positions -> per-site sample arrays (n_chains, n_samples, ...)
     positions = jnp.moveaxis(qs, 0, 1)  # (n_chains, n_samples, d)
-
-    @jax.jit
-    def constrain_all(positions):
-        def per_z(z):
-            cont, _ = staged.constrain(z)
-            return cont
-
-        return jax.vmap(jax.vmap(per_z))(positions)
-
-    samples = constrain_all(positions)
+    samples = constrain_positions(staged, positions)
     return HMCResult(
         samples=samples,
         positions=positions,

@@ -233,8 +233,8 @@ class MHResult:
 
 def adaptive_mcmc_chain(
     key,
-    model_fn: Callable,
-    n_samples: int,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
     n_warmup: int = 0,
     *,
     n_chains: int = 1,
@@ -253,40 +253,45 @@ def adaptive_mcmc_chain(
     """
     if staged is None:
         staged = stage(model_fn, *model_args)
-    init_keys = chain_keys(jax.random.fold_in(key, 0), n_chains)
-    run_key = jax.random.fold_in(key, 1)
 
-    init_states = jax.vmap(
-        lambda k: init_mh_state(staged, k, initial_scale)
-    )(init_keys)
+    def build_drive():
+        step_adapt = jax.vmap(
+            lambda st, k: mh_step(staged, st, k, True, target_accept)
+        )
+        step_frozen = jax.vmap(
+            lambda st, k: mh_step(staged, st, k, False, target_accept)
+        )
 
-    step_adapt = jax.vmap(
-        lambda st, k: mh_step(staged, st, k, True, target_accept)
+        def warm_body(state, k):
+            keys = jax.random.split(k, n_chains)
+            new, _ = step_adapt(state, keys)
+            return new, None
+
+        def sample_body(state, k):
+            keys = jax.random.split(k, n_chains)
+            new, accepted = step_frozen(state, keys)
+            return new, (new.latents, new.log_joint, accepted)
+
+        def drive(k_all):
+            init_keys = chain_keys(jax.random.fold_in(k_all, 0), n_chains)
+            rk = jax.random.fold_in(k_all, 1)
+            states = jax.vmap(
+                lambda k: init_mh_state(staged, k, initial_scale)
+            )(init_keys)
+            if n_warmup > 0:
+                warm_keys = jax.random.split(jax.random.fold_in(rk, 0), n_warmup)
+                states, _ = jax.lax.scan(warm_body, states, warm_keys)
+            sample_keys = jax.random.split(jax.random.fold_in(rk, 1), n_samples)
+            final, (lat, lj, acc) = jax.lax.scan(sample_body, states, sample_keys)
+            return final, lat, lj, acc
+
+        return jax.jit(drive)
+
+    drive = staged.cached_kernel(
+        ("mh_drive", n_chains, n_samples, n_warmup, initial_scale, target_accept),
+        build_drive,
     )
-    step_frozen = jax.vmap(
-        lambda st, k: mh_step(staged, st, k, False, target_accept)
-    )
-
-    def warm_body(state, k):
-        keys = jax.random.split(k, n_chains)
-        new, _ = step_adapt(state, keys)
-        return new, None
-
-    def sample_body(state, k):
-        keys = jax.random.split(k, n_chains)
-        new, accepted = step_frozen(state, keys)
-        return new, (new.latents, new.log_joint, accepted)
-
-    @jax.jit
-    def drive(states, rk):
-        if n_warmup > 0:
-            warm_keys = jax.random.split(jax.random.fold_in(rk, 0), n_warmup)
-            states, _ = jax.lax.scan(warm_body, states, warm_keys)
-        sample_keys = jax.random.split(jax.random.fold_in(rk, 1), n_samples)
-        final, (lat, lj, acc) = jax.lax.scan(sample_body, states, sample_keys)
-        return final, lat, lj, acc
-
-    final, lat, lj, acc = drive(init_states, run_key)
+    final, lat, lj, acc = drive(key)
     # (n_samples, n_chains, ...) -> (n_chains, n_samples, ...)
     samples = {a: jnp.moveaxis(v, 0, 1) for a, v in lat.items()}
     return MHResult(

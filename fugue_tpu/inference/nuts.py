@@ -56,6 +56,7 @@ class NUTSConfig:
     adapt_step_size: bool = True
     adapt_mass: bool = True
     max_delta_energy: float = 1000.0
+    init: str = "uniform"  # see HMCConfig.init
 
 
 def _popcount(n):
@@ -336,11 +337,8 @@ def nuts_chain(
             return jax.lax.pmean(jnp.mean(x), chain_axis)
         return jnp.mean(x)
 
-    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 11), 3)
-    q0 = jax.vmap(staged.initial_position)(chain_keys(k_init, n_chains)).astype(dt)
     inv_mass0 = jnp.ones((d,), dt)
 
-    @jax.jit
     def drive(q0, k_eps, k_run):
         if config.step_size is not None:
             eps0 = jnp.asarray(config.step_size, dt)
@@ -357,33 +355,48 @@ def nuts_chain(
         )
 
         def warm_body(carry, k):
-            q, da, welford, inv_mass = carry
+            q, da, welford, inv_mass, ema = carry
             eps = jnp.exp(da.log_eps)
             keys = jax.random.split(k, n_chains)
             q_new, info = vstep(q, keys, eps, inv_mass)
             a_mean = cross_mean(info["accept_prob"])
             da_new = dual_averaging_update(da, a_mean, config.target_accept)
             welford_new = welford_push_batch(welford, q_new)
-            return (q_new, da_new, welford_new, inv_mass), None
+            ema_new = 0.9 * ema + 0.1 * info["accept_prob"]
+            return (q_new, da_new, welford_new, inv_mass, ema_new), None
+
+        def rescue_stuck(q, ema, k):
+            # warmup-only cross-chain rescue (see hmc.make_hmc_drive)
+            donors = jax.random.categorical(
+                k, jnp.log(ema + 1e-6), shape=(n_chains,)
+            )
+            stuck = ema < 0.1
+            return jnp.where(stuck[:, None], q[donors], q)
 
         n_half = n_warmup // 2
-        carry = (q0, da0, WelfordState.init(d), inv_mass0)
+        carry = (q0, da0, WelfordState.init(d), inv_mass0,
+                 jnp.full((n_chains,), 0.5, dt))
         if n_warmup > 0:
             keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
             carry, _ = jax.lax.scan(warm_body, carry, keys1)
-            q1, da1, w1, _ = carry
+            q1, da1, w1, _, ema1 = carry
+            q1 = rescue_stuck(q1, ema1, jax.random.fold_in(k_run, 91))
             if config.adapt_mass:
                 inv_mass1 = welford_variance(w1)
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
             else:
                 inv_mass1 = inv_mass0
-            carry = (q1, da1, WelfordState.init(d), inv_mass1)
+            carry = (q1, da1, WelfordState.init(d), inv_mass1,
+                     jnp.full((n_chains,), 0.5, dt))
             keys2 = jax.random.split(
                 jax.random.fold_in(k_run, 1), max(n_warmup - n_half, 1)
             )
             carry, _ = jax.lax.scan(warm_body, carry, keys2)
+            q2, da2, w2, im2, ema2 = carry
+            q2 = rescue_stuck(q2, ema2, jax.random.fold_in(k_run, 92))
+            carry = (q2, da2, w2, im2, ema2)
 
-        q_w, da_w, _, inv_mass_f = carry
+        q_w, da_w, _, inv_mass_f, _ = carry
         eps_final = (
             jnp.exp(da_w.log_eps_bar)
             if (config.adapt_step_size and n_warmup > 0)
@@ -400,15 +413,26 @@ def nuts_chain(
         q_f, (qs, aps, divs, depths) = jax.lax.scan(sample_body, q_w, keys)
         return q_f, qs, aps, divs, depths, eps_final, inv_mass_f
 
-    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = drive(q0, k_eps, k_run)
+    from .hmc import _discrete_cache_key, constrain_positions, initial_positions
+
+    def build_full():
+        def full(k):
+            k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 11), 3)
+            q0 = initial_positions(staged, k_init, n_chains, config.init)
+            return drive(q0, k_eps, k_run)
+
+        return jax.jit(full)
+
+    full_drive = staged.cached_kernel(
+        ("nuts_drive", config, n_chains, n_samples, n_warmup, chain_axis,
+         _discrete_cache_key(discrete)),
+        build_full,
+    )
+    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = full_drive(key)
     positions = jnp.moveaxis(qs, 0, 1)
 
-    @jax.jit
-    def constrain_all(positions):
-        return jax.vmap(jax.vmap(lambda z: staged.constrain(z)[0]))(positions)
-
     return NUTSResult(
-        samples=constrain_all(positions),
+        samples=constrain_positions(staged, positions),
         positions=positions,
         accept_prob=jnp.mean(aps, axis=-1),
         divergences=jnp.moveaxis(divs, 0, 1),

@@ -116,13 +116,34 @@ def adaptive_smc(
     *,
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
+    mesh=None,
 ) -> SMCResult:
-    """Likelihood-tempered adaptive SMC (reference driver: smc.rs:455-580)."""
+    """Likelihood-tempered adaptive SMC (reference driver: smc.rs:455-580).
+
+    ``mesh``: optional device mesh; the particle axis is then annotated with
+    a sharding constraint so XLA distributes particles and inserts the
+    collectives for weight/ESS reductions and resampling gathers
+    (parallel/sharded.py strategy 2)."""
     if staged is None:
         staged = stage(model_fn, *model_args)
     N = n_particles
     dt = settings.real_dtype()
     resampler = RESAMPLERS[config.resampling]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from ..parallel.mesh import CHAIN_AXIS as _CA
+
+        def shard_particles(tree):
+            def put(x):
+                spec = _P(_CA, *([None] * (jnp.ndim(x) - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec)
+                )
+
+            return jax.tree_util.tree_map(put, tree)
+    else:
+        shard_particles = lambda tree: tree
 
     def loglik(latents):
         parts = staged.log_density_parts(latents)
@@ -134,13 +155,12 @@ def adaptive_smc(
 
     k_init, k_loop = jax.random.split(jax.random.fold_in(key, 3))
 
-    @jax.jit
     def drive(k_init, k_loop):
         # Stage 0: prior particles, weights = 1/N; the prior cancels in the
         # importance weight so only (tempered) likelihood enters (FG-03).
-        latents0 = jax.vmap(staged.sample_prior)(chain_keys(k_init, N))
-        ll0 = jax.vmap(loglik)(latents0)
-        log_w0 = jnp.zeros((N,), dt)
+        latents0 = shard_particles(jax.vmap(staged.sample_prior)(chain_keys(k_init, N)))
+        ll0 = shard_particles(jax.vmap(loglik)(latents0))
+        log_w0 = shard_particles(jnp.zeros((N,), dt))
         adapt0 = AdaptationState.init(len(staged.sites), config.initial_scale)
 
         target_ess = config.ess_threshold * N
@@ -238,7 +258,11 @@ def adaptive_smc(
         )
         return latents, log_w, log_z, stage_i
 
-    latents, log_w, log_z, n_stages = drive(k_init, k_loop)
+    jit_drive = staged.cached_kernel(
+        ("smc_drive", N, config, None if mesh is None else id(mesh)),
+        lambda: jax.jit(drive),
+    )
+    latents, log_w, log_z, n_stages = jit_drive(k_init, k_loop)
     weights, _ = normalize_log_weights(log_w)
     return SMCResult(
         particles=latents,

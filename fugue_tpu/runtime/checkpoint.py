@@ -1,0 +1,67 @@
+"""Checkpoint / resume for long-running inference.
+
+The reference has no serialization; its *mechanism* is the replayable trace +
+incremental sessions holding all inter-transition state in a value
+(SURVEY.md §5 "Checkpoint/resume": trace+replay architecture,
+interpreters.rs:374-427; HmcSession hmc.rs:604-642; seeds documented as "a
+replayable recording"). On TPU pods runs are long, so checkpointing is
+first-class here: any sampler state — (PRNG key, position arrays, adaptation
+state, samples so far) — is a pytree of arrays and round-trips through a
+single ``.npz`` file keyed by tree paths. ``load_checkpoint`` takes a
+template pytree (e.g. the freshly-initialized state) so structure never
+depends on unpickling arbitrary objects.
+
+For multi-host pod checkpoints, pair with orbax (available in the
+environment) — this module covers the single-controller case without extra
+dependencies.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Serialize a pytree of arrays to ``path`` (.npz)."""
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    arrays = {}
+    for keypath, leaf in leaves:
+        arrays[_path_str(keypath)] = np.asarray(leaf)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+
+
+def load_checkpoint(path: str, template: Any) -> Any:
+    """Restore a pytree saved by ``save_checkpoint``; ``template`` supplies
+    the structure (and dtypes for 0-d python scalars)."""
+    with np.load(path) as data:
+        leaves_t = jax.tree_util.tree_flatten_with_path(template)
+        paths = [_path_str(kp) for kp, _ in leaves_t[0]]
+        missing = [p for p in paths if p not in data]
+        if missing:
+            raise KeyError(
+                f"checkpoint {path!r} missing leaves {missing[:5]!r}"
+                + ("..." if len(missing) > 5 else "")
+            )
+        new_leaves = [jax.numpy.asarray(data[p]) for p in paths]
+    return jax.tree_util.tree_unflatten(leaves_t[1], new_leaves)

@@ -252,11 +252,20 @@ class SafeReplayHandler(ReplayHandler):
 
 
 class StrictScoreGivenTrace(ScoreGivenTrace):
-    """ScoreGivenTrace that additionally requires the model to visit *every*
-    address in the base trace (typed ``UnexpectedModelStructure`` otherwise).
+    """ScoreGivenTrace that requires EXACT structure agreement: every model
+    address must be in the trace (fresh address → typed
+    ``UnexpectedModelStructure``) and every trace latent must be visited.
 
     Reference: interpreters.rs:606-679.
     """
+
+    def on_sample(self, addr, dist, sample_shape):
+        if self.base.get_choice(addr) is None:
+            raise unexpected_structure(
+                f"model sampled fresh address {addr!r} not present in trace",
+                address=addr,
+            )
+        return super().on_sample(addr, dist, sample_shape)
 
     def finish(self) -> Trace:
         visited = set(self.trace.choices.keys())

@@ -121,6 +121,16 @@ class StagedModel:
             off += s.size
         self.dim = off
         self._discovery_trace = trace
+        self._kernel_cache: Dict[Any, Any] = {}
+
+    def cached_kernel(self, cache_key, builder: Callable[[], Any]):
+        """Engine-kernel cache: compiled drive programs are keyed by their
+        static configuration so repeated engine calls on the same staged
+        model reuse the XLA executable instead of re-tracing (the staged
+        analog of the reference's cached site list + cached score, FG-11/12)."""
+        if cache_key not in self._kernel_cache:
+            self._kernel_cache[cache_key] = builder()
+        return self._kernel_cache[cache_key]
 
     # -- array programs -----------------------------------------------------
 

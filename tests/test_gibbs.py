@@ -1,0 +1,63 @@
+"""HMC-within-Gibbs tests for mixed discrete + continuous models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fugue_tpu as ft
+from fugue_tpu.inference.gibbs import gibbs_chain
+from fugue_tpu.inference.hmc import HMCConfig
+
+
+def test_mixed_model_posterior():
+    """Coin chooses the mean of a Gaussian; data at +1 → coin posterior
+    strongly heads, mu posterior near +1."""
+    def model():
+        heads = ft.sample("heads", ft.Bernoulli(0.5))
+        mu = ft.sample("mu", ft.Normal(jnp.where(heads, 1.0, -1.0), 1.0))
+        ft.observe("y", ft.Normal(mu, 0.5), jnp.array([1.1, 0.9, 1.2]))
+        return mu
+
+    res = gibbs_chain(
+        jax.random.PRNGKey(0), model, n_samples=1500, n_warmup=500, n_chains=8
+    )
+    heads = np.asarray(res.samples["heads"], dtype=float)
+    mus = np.asarray(res.samples["mu"])
+    assert heads.mean() > 0.8
+    assert mus.mean() == pytest.approx(1.0, abs=0.15)
+    assert res.accept_prob_hmc.mean() > 0.5
+
+
+def test_poisson_count_latent():
+    """Non-enumerable discrete latent (count) updated by Gibbs MH while a
+    continuous rate is updated by HMC."""
+    def model():
+        lam = ft.sample("lam", ft.Gamma(2.0, 1.0))
+        n = ft.sample("n", ft.Poisson(lam * 5.0))
+        # observe a noisy reading of the count
+        ft.observe("y", ft.Normal(jnp.asarray(n, jnp.float64), 1.0), jnp.array(8.0))
+        return n
+
+    res = gibbs_chain(
+        jax.random.PRNGKey(1), model, n_samples=2000, n_warmup=500, n_chains=8
+    )
+    ns = np.asarray(res.samples["n"], dtype=float)
+    # posterior count concentrated near the observation
+    assert 6.0 < ns.mean() < 10.0
+    assert float(res.accept_rate_discrete) > 0.05
+    lam = np.asarray(res.samples["lam"])
+    assert lam.min() > 0
+
+
+def test_continuous_only_degenerates_to_hmc():
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([1.0, 1.2]))
+        return mu
+
+    res = gibbs_chain(
+        jax.random.PRNGKey(2), model, n_samples=1000, n_warmup=400, n_chains=4
+    )
+    tau = 0.25 + 2.0
+    assert np.asarray(res.samples["mu"]).mean() == pytest.approx(2.2 / tau, abs=0.05)
