@@ -61,6 +61,10 @@ class HMCConfig:
     # robust to heavy-tailed priors whose extreme draws strand chains in
     # divergent regions); "prior": unconstrained prior draw
     init: str = "uniform"
+    # "diag": diagonal mass from cross-chain variances; "dense": full
+    # covariance mass (Cholesky-based kinetic energy) — for strongly
+    # correlated posteriors where diagonal preconditioning is not enough
+    mass: str = "diag"
 
 
 # ---------------------------------------------------------------------------
@@ -123,26 +127,34 @@ class WelfordState:
     m2: Any
 
     @staticmethod
-    def init(dim: int):
+    def init(dim: int, dense: bool = False):
         dt = settings.real_dtype()
+        m2_shape = (dim, dim) if dense else (dim,)
         return WelfordState(
             count=jnp.zeros((), dt),
             mean=jnp.zeros((dim,), dt),
-            m2=jnp.zeros((dim,), dt),
+            m2=jnp.zeros(m2_shape, dt),
         )
 
 
 def welford_push_batch(state: WelfordState, batch) -> WelfordState:
     """Fold a (n_chains, d) batch of positions into the moments (Chan
     parallel update) — the cross-chain form of the reference's scalar
-    Welford.push (hmc.rs:187-233)."""
+    Welford.push (hmc.rs:187-233). ``m2`` tracks elementwise squares (diag)
+    or full outer products (dense)."""
     n_b = jnp.asarray(batch.shape[0], state.mean.dtype)
     mean_b = jnp.mean(batch, axis=0)
-    m2_b = jnp.sum((batch - mean_b) ** 2, axis=0)
+    centered = batch - mean_b
     n_new = state.count + n_b
     delta = mean_b - state.mean
     mean_new = state.mean + delta * (n_b / n_new)
-    m2_new = state.m2 + m2_b + delta**2 * (state.count * n_b / n_new)
+    w = state.count * n_b / n_new
+    if state.m2.ndim == 2:
+        m2_b = centered.T @ centered
+        m2_new = state.m2 + m2_b + w * jnp.outer(delta, delta)
+    else:
+        m2_b = jnp.sum(centered**2, axis=0)
+        m2_new = state.m2 + m2_b + w * delta**2
     return WelfordState(count=n_new, mean=mean_new, m2=m2_new)
 
 
@@ -154,6 +166,19 @@ def welford_variance(state: WelfordState, regularize: bool = True):
     return jnp.maximum(var, 1e-10)
 
 
+def welford_covariance(state: WelfordState, regularize: bool = True):
+    """Dense covariance estimate with Stan-style shrinkage toward a scaled
+    identity (keeps the mass matrix positive definite at small counts)."""
+    cov = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    if regularize:
+        n = state.count
+        d = cov.shape[0]
+        cov = (n / (n + 5.0)) * cov + 1e-3 * (5.0 / (n + 5.0)) * jnp.eye(
+            d, dtype=cov.dtype
+        )
+    return cov + 1e-8 * jnp.eye(cov.shape[0], dtype=cov.dtype)
+
+
 def welford_merge_across(state: WelfordState, axis_name: str) -> WelfordState:
     """Merge per-shard Welford moments across a named mesh axis (Chan
     parallel combine via psum) — the collective form of cross-chain mass
@@ -162,10 +187,38 @@ def welford_merge_across(state: WelfordState, axis_name: str) -> WelfordState:
     mean_g = jax.lax.psum(state.count * state.mean, axis_name) / jnp.maximum(
         total, 1.0
     )
-    m2_g = jax.lax.psum(
-        state.m2 + state.count * (state.mean - mean_g) ** 2, axis_name
-    )
+    delta = state.mean - mean_g
+    if state.m2.ndim == 2:
+        corr = state.count * jnp.outer(delta, delta)
+    else:
+        corr = state.count * delta**2
+    m2_g = jax.lax.psum(state.m2 + corr, axis_name)
     return WelfordState(count=total, mean=mean_g, m2=m2_g)
+
+
+# ---------------------------------------------------------------------------
+# Mass-matrix algebra: ``inv_mass`` is either a (d,) vector (diagonal) or a
+# (d, d) covariance estimate Σ (dense). Velocity = Σp, kinetic = ½ pᵀΣp,
+# momentum ~ N(0, Σ⁻¹) drawn via the Cholesky of Σ.
+# ---------------------------------------------------------------------------
+
+
+def mass_velocity(inv_mass, p):
+    if inv_mass.ndim == 1:
+        return inv_mass * p
+    return inv_mass @ p
+
+
+def mass_kinetic(inv_mass, p):
+    return 0.5 * jnp.sum(p * mass_velocity(inv_mass, p))
+
+
+def mass_draw_momentum(key, inv_mass, shape, dtype):
+    z = jax.random.normal(key, shape, dtype)
+    if inv_mass.ndim == 1:
+        return z / jnp.sqrt(inv_mass)
+    chol = jnp.linalg.cholesky(inv_mass)  # Σ = L Lᵀ → p = L⁻ᵀ z ~ N(0, Σ⁻¹)
+    return jax.scipy.linalg.solve_triangular(chol.T, z, lower=False)
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +235,7 @@ def leapfrog(grad_fn, q, p, eps, n_steps: int, inv_mass):
     def body(carry, _):
         q, p, g = carry
         p_half = p - 0.5 * eps * g
-        q_new = q + eps * inv_mass * p_half
+        q_new = q + eps * mass_velocity(inv_mass, p_half)
         g_new = grad_fn(q_new)
         p_new = p_half - 0.5 * eps * g_new
         return (q_new, p_new, g_new), None
@@ -199,10 +252,10 @@ def leapfrog_recorded(grad_fn, potential_fn, q, p, eps, n_steps: int, inv_mass):
     def body(carry, _):
         q, p, g = carry
         p_half = p - 0.5 * eps * g
-        q_new = q + eps * inv_mass * p_half
+        q_new = q + eps * mass_velocity(inv_mass, p_half)
         g_new = grad_fn(q_new)
         p_new = p_half - 0.5 * eps * g_new
-        h = potential_fn(q_new) + 0.5 * jnp.sum(inv_mass * p_new**2)
+        h = potential_fn(q_new) + mass_kinetic(inv_mass, p_new)
         return (q_new, p_new, g_new), (q_new, h)
 
     (q_new, p_new, _), (qs, hs) = jax.lax.scan(body, (q, p, g), None, length=n_steps)
@@ -241,12 +294,12 @@ def hmc_transition(
     """
     k_mom, k_acc = jax.random.split(key)
     grad_fn = jax.grad(potential_fn)
-    p = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(inv_mass)
+    p = mass_draw_momentum(k_mom, inv_mass, q.shape, q.dtype)
     u0 = potential_fn(q)
-    h0 = u0 + 0.5 * jnp.sum(inv_mass * p**2)
+    h0 = u0 + mass_kinetic(inv_mass, p)
     q_new, p_new = leapfrog(grad_fn, q, p, eps, n_leapfrog, inv_mass)
     u1 = potential_fn(q_new)
-    h1 = u1 + 0.5 * jnp.sum(inv_mass * p_new**2)
+    h1 = u1 + mass_kinetic(inv_mass, p_new)
     delta = h0 - h1
     finite = jnp.isfinite(delta) & jnp.isfinite(u1)
     divergent = (~finite) | (-delta > max_delta_energy)
@@ -278,12 +331,12 @@ def find_reasonable_epsilon(
     averaging); pass the real trajectory length for un-adapted sessions."""
     dt = q.dtype
     grad_fn = jax.grad(potential_fn)
-    p = jax.random.normal(key, q.shape, dt) / jnp.sqrt(inv_mass)
-    h0 = potential_fn(q) + 0.5 * jnp.sum(inv_mass * p**2)
+    p = mass_draw_momentum(key, inv_mass, q.shape, dt)
+    h0 = potential_fn(q) + mass_kinetic(inv_mass, p)
 
     def log_accept(eps):
         q1, p1 = leapfrog(grad_fn, q, p, eps, n_steps, inv_mass)
-        h1 = potential_fn(q1) + 0.5 * jnp.sum(inv_mass * p1**2)
+        h1 = potential_fn(q1) + mass_kinetic(inv_mass, p1)
         la = h0 - h1
         return jnp.where(jnp.isfinite(la), la, -jnp.inf)
 
@@ -370,7 +423,8 @@ def make_hmc_drive(
             return jax.lax.pmean(jnp.mean(x), chain_axis)
         return jnp.mean(x)
 
-    inv_mass0 = jnp.ones((d,), dt)
+    dense = config.mass == "dense"
+    inv_mass0 = jnp.eye(d, dtype=dt) if dense else jnp.ones((d,), dt)
 
     def drive(q0, k_eps, k_run):
         if config.step_size is not None:
@@ -421,7 +475,7 @@ def make_hmc_drive(
 
         n_half = n_warmup // 2
 
-        carry = (q0, da0, WelfordState.init(d), inv_mass0,
+        carry = (q0, da0, WelfordState.init(d, dense), inv_mass0,
                  jnp.full((n_chains,), 0.5, dt))
         if n_warmup > 0:
             warm_keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
@@ -434,11 +488,14 @@ def make_hmc_drive(
                 # first so every device adopts the same mass matrix.
                 if chain_axis is not None:
                     welford1 = welford_merge_across(welford1, chain_axis)
-                inv_mass1 = welford_variance(welford1)
+                inv_mass1 = (
+                    welford_covariance(welford1) if dense
+                    else welford_variance(welford1)
+                )
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
             else:
                 inv_mass1 = inv_mass0
-            carry = (q1, da1, WelfordState.init(d), inv_mass1,
+            carry = (q1, da1, WelfordState.init(d, dense), inv_mass1,
                      jnp.full((n_chains,), 0.5, dt))
             warm_keys2 = jax.random.split(
                 jax.random.fold_in(k_run, 1), max(n_warmup - n_half, 1)
@@ -599,12 +656,12 @@ class HmcSession:
         def _recorded(q, k, eps, im, L):
             k_mom, k_acc = jax.random.split(k)
             grad_fn = jax.grad(self.staged.potential)
-            p = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(im)
-            h0 = self.staged.potential(q) + 0.5 * jnp.sum(im * p**2)
+            p = mass_draw_momentum(k_mom, im, q.shape, q.dtype)
+            h0 = self.staged.potential(q) + mass_kinetic(im, p)
             q_new, p_new, qs, hs = leapfrog_recorded(
                 grad_fn, self.staged.potential, q, p, eps, L, im
             )
-            h1 = self.staged.potential(q_new) + 0.5 * jnp.sum(im * p_new**2)
+            h1 = self.staged.potential(q_new) + mass_kinetic(im, p_new)
             delta = h0 - h1
             finite = jnp.isfinite(delta)
             divergent = (~finite) | (-delta > config.max_delta_energy)

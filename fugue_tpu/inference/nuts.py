@@ -43,6 +43,10 @@ from .hmc import (
     WelfordState,
     dual_averaging_update,
     find_reasonable_epsilon,
+    mass_draw_momentum,
+    mass_kinetic,
+    mass_velocity,
+    welford_covariance,
     welford_push_batch,
     welford_variance,
 )
@@ -57,6 +61,7 @@ class NUTSConfig:
     adapt_mass: bool = True
     max_delta_energy: float = 1000.0
     init: str = "uniform"  # see HMCConfig.init
+    mass: str = "diag"  # see HMCConfig.mass
 
 
 def _popcount(n):
@@ -78,8 +83,8 @@ def _count_trailing_zeros(x):
 
 def _uturn(r_sum, r_left, r_right, inv_mass):
     """Generalized U-turn: either end moving back toward the other."""
-    v_left = inv_mass * r_left
-    v_right = inv_mass * r_right
+    v_left = mass_velocity(inv_mass, r_left)
+    v_right = mass_velocity(inv_mass, r_right)
     return (jnp.dot(r_sum, v_left) < 0) | (jnp.dot(r_sum, v_right) < 0)
 
 
@@ -103,13 +108,13 @@ def nuts_transition(
     grad_fn = jax.grad(potential_fn)
 
     k_mom, k_loop = jax.random.split(key)
-    r0 = jax.random.normal(k_mom, (d,), dt) / jnp.sqrt(inv_mass)
+    r0 = mass_draw_momentum(k_mom, inv_mass, (d,), dt)
     u0 = potential_fn(q)
-    h0 = u0 + 0.5 * jnp.sum(inv_mass * r0 * r0)
+    h0 = u0 + mass_kinetic(inv_mass, r0)
 
     def leapfrog_one(z, r, g):
         r_half = r - 0.5 * eps * g
-        z_new = z + eps * inv_mass * r_half
+        z_new = z + eps * mass_velocity(inv_mass, r_half)
         g_new = grad_fn(z_new)
         r_new = r_half - 0.5 * eps * g_new
         return z_new, r_new, g_new
@@ -157,12 +162,12 @@ def nuts_transition(
 
             # one leapfrog (signed step)
             r_half = r - 0.5 * eps_signed * g
-            z_new = z + eps_signed * inv_mass * r_half
+            z_new = z + eps_signed * mass_velocity(inv_mass, r_half)
             g_new = grad_fn(z_new)
             r_new = r_half - 0.5 * eps_signed * g_new
 
             u_new = potential_fn(z_new)
-            h_new = u_new + 0.5 * jnp.sum(inv_mass * r_new * r_new)
+            h_new = u_new + mass_kinetic(inv_mass, r_new)
             delta = h0 - h_new  # log weight of leaf relative to root
             leaf_div = (~jnp.isfinite(delta)) | (-delta > max_delta_energy)
             log_w_leaf = jnp.where(leaf_div, -jnp.inf, delta)
@@ -337,7 +342,8 @@ def nuts_chain(
             return jax.lax.pmean(jnp.mean(x), chain_axis)
         return jnp.mean(x)
 
-    inv_mass0 = jnp.ones((d,), dt)
+    dense = config.mass == "dense"
+    inv_mass0 = jnp.eye(d, dtype=dt) if dense else jnp.ones((d,), dt)
 
     def drive(q0, k_eps, k_run):
         if config.step_size is not None:
@@ -374,7 +380,7 @@ def nuts_chain(
             return jnp.where(stuck[:, None], q[donors], q)
 
         n_half = n_warmup // 2
-        carry = (q0, da0, WelfordState.init(d), inv_mass0,
+        carry = (q0, da0, WelfordState.init(d, dense), inv_mass0,
                  jnp.full((n_chains,), 0.5, dt))
         if n_warmup > 0:
             keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
@@ -382,11 +388,12 @@ def nuts_chain(
             q1, da1, w1, _, ema1 = carry
             q1 = rescue_stuck(q1, ema1, jax.random.fold_in(k_run, 91))
             if config.adapt_mass:
-                inv_mass1 = welford_variance(w1)
+                inv_mass1 = (welford_covariance(w1) if dense
+                             else welford_variance(w1))
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
             else:
                 inv_mass1 = inv_mass0
-            carry = (q1, da1, WelfordState.init(d), inv_mass1,
+            carry = (q1, da1, WelfordState.init(d, dense), inv_mass1,
                      jnp.full((n_chains,), 0.5, dt))
             keys2 = jax.random.split(
                 jax.random.fold_in(k_run, 1), max(n_warmup - n_half, 1)

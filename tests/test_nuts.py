@@ -133,3 +133,25 @@ def test_single_transition_shape_and_determinism():
     assert q1.shape == (3,)
     assert 0.0 <= float(info1["accept_prob"]) <= 1.0
     assert int(info1["depth"]) >= 1
+
+
+def test_dense_mass_nuts():
+    """Dense-mass NUTS on a correlated Gaussian: correct posterior and
+    learned covariance."""
+    rho = 0.9
+
+    def model():
+        x = ft.sample("x", ft.Normal(0.0, 1.0))
+        y = ft.sample("y", ft.Normal(rho * x, float(np.sqrt(1 - rho**2))))
+        return x, y
+
+    res = nuts_chain(
+        jax.random.PRNGKey(7), model, n_samples=600, n_warmup=600,
+        config=NUTSConfig(mass="dense"), n_chains=8,
+    )
+    im = np.asarray(res.inv_mass)
+    assert im.shape == (2, 2)
+    assert im[0, 1] / np.sqrt(im[0, 0] * im[1, 1]) == pytest.approx(rho, abs=0.1)
+    xs = np.asarray(res.samples["x"])
+    assert abs(xs.mean()) < 0.1
+    assert float(split_r_hat(xs)) < 1.02
