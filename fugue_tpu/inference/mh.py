@@ -157,14 +157,23 @@ class MHState:
     adapt: AdaptationState
 
 
-def init_mh_state(staged: StagedModel, key, initial_scale: float = 0.5) -> MHState:
+def init_mh_state(staged: StagedModel, key, initial_scale=0.5) -> MHState:
+    """``initial_scale``: float, or an ``{address: scale}`` dict of per-site
+    overrides (the reference's ``SiteProposal`` override maps,
+    mh.rs:938-944) — unlisted sites use 0.5."""
     latents = staged.sample_prior(key)
     lj = staged.log_joint(latents)
-    return MHState(
-        latents=latents,
-        log_joint=lj,
-        adapt=AdaptationState.init(len(staged.sites), initial_scale),
-    )
+    if isinstance(initial_scale, dict):
+        scales = jnp.log(jnp.asarray(
+            [float(initial_scale.get(s.address, 0.5)) for s in staged.sites],
+            settings.real_dtype(),
+        ))
+        adapt = AdaptationState(
+            log_scale=scales, t=jnp.zeros_like(scales)
+        )
+    else:
+        adapt = AdaptationState.init(len(staged.sites), initial_scale)
+    return MHState(latents=latents, log_joint=lj, adapt=adapt)
 
 
 def mh_step(
@@ -287,8 +296,13 @@ def adaptive_mcmc_chain(
 
         return jax.jit(drive)
 
+    scale_key = (
+        tuple(sorted(initial_scale.items()))
+        if isinstance(initial_scale, dict)
+        else initial_scale
+    )
     drive = staged.cached_kernel(
-        ("mh_drive", n_chains, n_samples, n_warmup, initial_scale, target_accept),
+        ("mh_drive", n_chains, n_samples, n_warmup, scale_key, target_accept),
         build_drive,
     )
     final, lat, lj, acc = drive(key)

@@ -169,3 +169,20 @@ def test_many_chains_scale():
     ps = np.asarray(res.samples["p"])
     assert ps.shape == (1024, 100)
     assert ps.mean() == pytest.approx(4.0 / 6.0, abs=0.02)
+
+
+def test_per_site_scale_overrides():
+    """Per-address initial proposal scales (reference: SiteProposal override
+    maps, mh.rs:938-944)."""
+    def model():
+        a = ft.sample("a", ft.Normal(0.0, 100.0))
+        b = ft.sample("b", ft.Normal(0.0, 0.01))
+        return a, b
+
+    res = adaptive_mcmc_chain(
+        jax.random.PRNGKey(11), model, n_samples=50, n_warmup=0, n_chains=4,
+        initial_scale={"a": 50.0, "b": 0.005},
+    )
+    scales = np.asarray(res.final_state.adapt.scale())  # (chains, 2) a,b sorted
+    np.testing.assert_allclose(scales[:, 0], 50.0, rtol=1e-6)
+    np.testing.assert_allclose(scales[:, 1], 0.005, rtol=1e-6)
