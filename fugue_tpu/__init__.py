@@ -76,6 +76,7 @@ from .core import transforms
 # L4: inference engines + diagnostics (lazy-loaded heavy modules are fine to
 # import eagerly here: they only define functions)
 from .inference.mh import MHResult, MHState, adaptive_mcmc_chain, mh_step
+from .inference.mh_dynamic import DynamicMHResult, adaptive_mcmc_chain_dynamic
 from .inference.hmc import (
     HMCConfig,
     HMCResult,

@@ -171,10 +171,10 @@ import math
 
 
 def _is_concrete(x: Any) -> bool:
-    """True if x is a plain Python/numpy scalar we can validate eagerly."""
+    """True if x is a plain Python/numpy value we can validate eagerly."""
     if isinstance(x, (int, float)):
         return True
-    try:  # numpy scalars / 0-d arrays with concrete values
+    try:  # numpy scalars / arrays / lists of scalars with concrete values
         import numpy as np
         import jax
 
@@ -184,6 +184,9 @@ def _is_concrete(x: Any) -> bool:
             return True
         if isinstance(x, jax.Array):
             return True  # concrete device array
+        if isinstance(x, (list, tuple)):
+            arr = np.asarray(x)
+            return arr.dtype != object
     except Exception:
         pass
     return False
