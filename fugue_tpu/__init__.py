@@ -92,12 +92,14 @@ from .inference.smc import (
     importance_reweight,
 )
 from .inference.vi import (
+    FullRankGuide,
     GuideError,
     MeanFieldGuide,
     VIConfig,
     VIResult,
     elbo,
     estimate_elbo,
+    optimize_fullrank_vi,
     optimize_meanfield_vi,
 )
 from .inference.abc import (

@@ -374,6 +374,147 @@ def estimate_elbo(key, model_fn=None, n_samples: int = 128, *, staged=None,
     return float(np.asarray(elbo(key, guide, guide.init_params(), n_samples)))
 
 
+# ---------------------------------------------------------------------------
+# Full-rank guide (ADVI): multivariate Normal on the unconstrained flat space
+# — captures posterior correlations mean-field factorization cannot.
+# ---------------------------------------------------------------------------
+
+
+class FullRankGuide:
+    """q(z) = N(loc, L Lᵀ) over the staged model's unconstrained R^d;
+    samples map back through the support transforms. Entropy is analytic
+    (½d(1+log 2π) + Σ log diag L), so the ELBO objective is pathwise with no
+    entropy-gradient noise."""
+
+    def __init__(self, staged: StagedModel):
+        if staged.discrete_sites:
+            raise GuideError(
+                ErrorCode.NOT_STAGEABLE,
+                "model has discrete latent sites; full-rank VI requires "
+                "continuous latents",
+                {"discrete": [s.address for s in staged.discrete_sites]},
+            )
+        self.staged = staged
+        self.d = staged.dim
+        self._tril = jnp.tril_indices(self.d)
+
+    def init_params(self, scale: float = 0.5):
+        dt = settings.real_dtype()
+        n_tril = self.d * (self.d + 1) // 2
+        raw = jnp.zeros((n_tril,), dt)
+        # diagonal entries sit at positions where row == col
+        rows, cols = self._tril
+        diag_mask = np.asarray(rows) == np.asarray(cols)
+        raw = raw.at[jnp.asarray(np.nonzero(diag_mask)[0])].set(
+            float(_inv_softplus(scale))
+        )
+        return {"loc": jnp.zeros((self.d,), dt), "raw_tril": raw}
+
+    def _chol(self, params):
+        dt = settings.real_dtype()
+        L = jnp.zeros((self.d, self.d), dt).at[self._tril].set(
+            params["raw_tril"]
+        )
+        diag = _softplus(jnp.diagonal(L))
+        return L - jnp.diag(jnp.diagonal(L)) + jnp.diag(diag)
+
+    def sample_z(self, key, params):
+        eps = jax.random.normal(key, (self.d,), settings.real_dtype())
+        return params["loc"] + self._chol(params) @ eps
+
+    def sample_latents(self, key, params):
+        cont, _ = self.staged.constrain(self.sample_z(key, params))
+        return cont
+
+    def entropy(self, params):
+        L = self._chol(params)
+        return 0.5 * self.d * (1.0 + _LOG_2PI) + jnp.sum(
+            jnp.log(jnp.diagonal(L))
+        )
+
+    def covariance(self, params):
+        L = self._chol(params)
+        return L @ L.T
+
+    def clamp(self, params):
+        return {
+            "loc": jnp.clip(params["loc"], -1e6, 1e6),
+            "raw_tril": jnp.clip(params["raw_tril"], -1e3, 1e3),
+        }
+
+
+def optimize_fullrank_vi(
+    key,
+    model_fn: Optional[Callable] = None,
+    config: VIConfig = VIConfig(),
+    *,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+) -> VIResult:
+    """Full-rank ADVI: pathwise gradients of
+    E_q[log p(x(z)) + log|J|] + H(q) with annealed Adam + plateau stopping
+    (same driver discipline as the mean-field path)."""
+    import optax
+
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    guide = FullRankGuide(staged)
+    params = guide.init_params()
+
+    t0 = max(config.n_iterations / 10.0, 1.0)
+    schedule = lambda t: config.learning_rate * jnp.power(1.0 + t / t0, -0.6)
+    tx = optax.adam(schedule)
+    opt_state = tx.init(params)
+
+    def neg_elbo(p, k):
+        def one(kk):
+            z = guide.sample_z(kk, p)
+            return staged.log_joint_unconstrained(z)
+
+        e = jnp.mean(
+            jax.vmap(one)(chain_keys(k, config.n_samples))
+        ) + guide.entropy(p)
+        return -e
+
+    @jax.jit
+    def chunk(params, opt_state, key):
+        def body(carry, k):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(neg_elbo)(params, k)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = guide.clamp(params)
+            return (params, opt_state), -loss
+
+        keys = jax.random.split(key, config.check_every)
+        (params, opt_state), elbos = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, elbos
+
+    history: List[float] = []
+    converged = False
+    n_chunks = max(1, config.n_iterations // config.check_every)
+    for c in range(n_chunks):
+        params, opt_state, elbos = chunk(
+            params, opt_state, jax.random.fold_in(key, c)
+        )
+        history.extend(np.asarray(elbos).tolist())
+        w = config.plateau_window
+        if len(history) >= 2 * w:
+            recent = np.mean(history[-w:])
+            prev = np.mean(history[-2 * w : -w])
+            if abs(recent - prev) / max(abs(prev), 1.0) < config.plateau_tol:
+                converged = True
+                break
+
+    return VIResult(
+        params=params,
+        elbo_history=np.asarray(history),
+        converged=converged,
+        n_iterations_run=len(history),
+        guide=guide,
+    )
+
+
 def optimize_meanfield_vi(
     key,
     model_fn: Optional[Callable] = None,

@@ -172,3 +172,34 @@ def test_seed_reproducibility():
         np.asarray(r1.particles["p"]), np.asarray(r2.particles["p"])
     )
     assert r1.log_evidence == r2.log_evidence
+
+
+def test_hmc_rejuvenation():
+    """Gradient-based rejuvenation (SURVEY.md §7 step 6): same conjugate
+    posterior, typically higher particle diversity per move."""
+    res = adaptive_smc(
+        jax.random.PRNGKey(7), 1024, coin_model,
+        SMCConfig(rejuvenation_steps=3, rejuvenation="hmc", hmc_leapfrog=8),
+    )
+    assert float(res.posterior_mean("p")) == pytest.approx(20 / 31, abs=0.01)
+    from scipy.special import betaln
+
+    exact = betaln(20, 11) - betaln(2, 2)
+    assert res.log_evidence == pytest.approx(exact, abs=0.1)
+    # diversity: many unique particle values after gradient moves
+    uniq = len(np.unique(np.asarray(res.particles["p"]).round(6)))
+    assert uniq > 700
+
+
+def test_hmc_rejuvenation_rejects_discrete():
+    def model():
+        z = ft.sample("z", ft.Bernoulli(0.5))
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(mu + jnp.where(z, 1.0, 0.0), 1.0), jnp.array(0.5))
+        return mu
+
+    with pytest.raises(ValueError):
+        adaptive_smc(
+            jax.random.PRNGKey(8), 64, model,
+            SMCConfig(rejuvenation="hmc"),
+        )

@@ -159,3 +159,51 @@ def test_robbins_monro_sgd_path():
     assert float(res.params["mu"]["loc"]) == pytest.approx(
         float(jnp.array([1.2, 0.8, 1.5, 0.9, 1.1]).sum()) / tau, abs=0.1
     )
+
+
+def test_fullrank_captures_correlation():
+    """Full-rank ADVI learns the off-diagonal covariance a mean-field guide
+    cannot represent."""
+    from fugue_tpu.inference.vi import FullRankGuide, optimize_fullrank_vi
+
+    rho = 0.9
+
+    def model():
+        x = ft.sample("x", ft.Normal(0.0, 1.0))
+        y = ft.sample("y", ft.Normal(rho * x, float(np.sqrt(1 - rho**2))))
+        return x, y
+
+    res = optimize_fullrank_vi(
+        jax.random.PRNGKey(0), model,
+        VIConfig(n_iterations=3000, n_samples=32, learning_rate=0.05),
+    )
+    cov = np.asarray(res.guide.covariance(res.params))
+    assert cov[0, 0] == pytest.approx(1.0, rel=0.15)
+    assert cov[1, 1] == pytest.approx(1.0, rel=0.15)
+    assert cov[0, 1] == pytest.approx(rho, rel=0.15)
+    draws = res.posterior_sample(jax.random.PRNGKey(1), 4000)
+    corr = np.corrcoef(
+        np.asarray(draws["x"]).ravel(), np.asarray(draws["y"]).ravel()
+    )[0, 1]
+    assert corr == pytest.approx(rho, abs=0.06)
+
+
+def test_fullrank_transforms_positive_site():
+    """Full-rank guide respects support transforms: positive site stays
+    positive and matches the conjugate mean."""
+    from fugue_tpu.inference.vi import optimize_fullrank_vi
+
+    ks = jnp.array([3, 2, 2])
+
+    def model():
+        lam = ft.sample("lam", ft.Gamma(2.0, 1.0))
+        ft.observe("ks", ft.Poisson(lam), ks)
+        return lam
+
+    res = optimize_fullrank_vi(
+        jax.random.PRNGKey(2), model,
+        VIConfig(n_iterations=2000, n_samples=32),
+    )
+    draws = res.posterior_sample(jax.random.PRNGKey(3), 4000)["lam"]
+    assert float(jnp.min(draws)) > 0
+    assert float(jnp.mean(draws)) == pytest.approx(9 / 4, rel=0.1)
