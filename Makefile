@@ -18,6 +18,7 @@ dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
+# requires pytest-cov (not in the baked image; install in dev environments)
 coverage:
 	$(PY) -m pytest tests/ -q -n 2 --cov=fugue_tpu --cov-report=term-missing \
 		--cov-fail-under=80

@@ -403,6 +403,7 @@ def make_hmc_drive(
     *,
     discrete: Optional[Dict[str, Any]] = None,
     chain_axis: Optional[str] = None,
+    inv_mass_init=None,
 ):
     """Build the pure warmup+sampling program ``(q0, k_eps, k_run) → arrays``.
 
@@ -424,7 +425,10 @@ def make_hmc_drive(
         return jnp.mean(x)
 
     dense = config.mass == "dense"
-    inv_mass0 = jnp.eye(d, dtype=dt) if dense else jnp.ones((d,), dt)
+    if inv_mass_init is not None:
+        inv_mass0 = jnp.asarray(inv_mass_init, dt)
+    else:
+        inv_mass0 = jnp.eye(d, dtype=dt) if dense else jnp.ones((d,), dt)
 
     def drive(q0, k_eps, k_run):
         if config.step_size is not None:
@@ -549,8 +553,14 @@ def hmc_chain(
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
     chain_axis: Optional[str] = None,
+    resume: Optional["HMCResult"] = None,
 ) -> HMCResult:
     """Run HMC with cross-chain warmup adaptation.
+
+    ``resume``: a previous ``HMCResult`` (or any object with
+    ``final_positions``, ``step_size``, ``inv_mass``) — sampling continues
+    from its final state with the warmed kernel (warmup skipped). Combine
+    with runtime.checkpoint for long-run persistence.
 
     ``chain_axis``: when set, the chain batch axis is a named mesh axis
     (inside ``shard_map``) and adaptation statistics reduce with
@@ -566,22 +576,48 @@ def hmc_chain(
     if staged.dim == 0:
         raise ValueError("model has no continuous latent sites; use MH")
 
+    if resume is not None:
+        config = replace(
+            config,
+            step_size=float(np.asarray(resume.step_size)),
+            adapt_step_size=False,
+            adapt_mass=False,
+        )
+        n_warmup = 0
+        inv_mass_init = jnp.asarray(resume.inv_mass)
+        q_resume = jnp.asarray(resume.final_positions, dt)
+        if q_resume.shape != (n_chains, staged.dim):
+            raise ValueError(
+                f"resume positions {q_resume.shape} do not match "
+                f"(n_chains={n_chains}, d={staged.dim})"
+            )
+    else:
+        inv_mass_init = None
+        q_resume = None
+
     def build_drive():
         inner = make_hmc_drive(
             staged, config, n_chains, n_samples, n_warmup,
             discrete=discrete, chain_axis=chain_axis,
+            inv_mass_init=inv_mass_init,
         )
 
-        def full(k):
-            k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
-            q0 = initial_positions(staged, k_init, n_chains, config.init)
-            return inner(q0, k_eps, k_run)
+        if resume is not None:
+            def full(k):
+                _, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
+                return inner(q_resume, k_eps, k_run)
+        else:
+            def full(k):
+                k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
+                q0 = initial_positions(staged, k_init, n_chains, config.init)
+                return inner(q0, k_eps, k_run)
 
         return jax.jit(full)
 
     drive = staged.cached_kernel(
         ("hmc_drive", config, n_chains, n_samples, n_warmup, chain_axis,
-         _discrete_cache_key(discrete)),
+         _discrete_cache_key(discrete),
+         None if resume is None else id(resume)),
         build_drive,
     )
     q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = drive(key)

@@ -253,3 +253,52 @@ def test_dense_mass_on_correlated_target():
     )
     assert ess_dense > 0.25 * xs_dense.size
     del res_diag  # compiled-path sanity only
+
+
+def test_resume_continues_with_warmed_kernel(tmp_path):
+    """Checkpoint → resume: sampling continues from the saved positions
+    with the frozen warmed kernel, no re-warmup."""
+    from fugue_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    ys = jnp.array([1.2, 0.8, 1.5, 0.9, 1.1])
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("ys", ft.Normal(mu, 1.0), ys)
+        return mu
+
+    staged = ft.stage(model)
+    first = hmc_chain(jax.random.PRNGKey(0), staged=staged,
+                      n_samples=300, n_warmup=400, n_chains=8)
+
+    # persist the warm state, reload, continue
+    state = {
+        "positions": first.final_positions,
+        "inv_mass": first.inv_mass,
+        "step_size": jnp.asarray(first.step_size),
+    }
+    path = str(tmp_path / "hmc.npz")
+    import fugue_tpu.runtime.checkpoint as ck
+
+    ck.save_checkpoint(path, state)
+    restored = ck.load_checkpoint(path, state)
+
+    class Warm:
+        final_positions = restored["positions"]
+        inv_mass = restored["inv_mass"]
+        step_size = float(restored["step_size"])
+
+    second = hmc_chain(jax.random.PRNGKey(1), staged=staged,
+                       n_samples=300, n_warmup=0, n_chains=8, resume=Warm())
+    assert second.step_size == pytest.approx(first.step_size, rel=1e-6)
+    tau = 0.25 + 5.0
+    combined = np.concatenate(
+        [np.asarray(first.samples["mu"]), np.asarray(second.samples["mu"])],
+        axis=1,
+    )
+    assert combined.mean() == pytest.approx(float(ys.sum()) / tau, abs=0.03)
+    # resumed run starts where the first ended
+    np.testing.assert_allclose(
+        np.asarray(second.positions[:, 0, 0]).mean(),
+        np.asarray(first.final_positions[:, 0]).mean(), atol=0.5,
+    )
