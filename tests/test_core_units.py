@@ -1,0 +1,210 @@
+"""Unit tests for core numerics, transforms, trace internals, and staging
+round-trips (the inline-unit-test layer of the reference, SURVEY.md §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fugue_tpu as ft
+from fugue_tpu.core import numerics as nm
+from fugue_tpu.core.transforms import (
+    AffineSigmoid,
+    Exp,
+    Identity,
+    Sigmoid,
+    transform_for_support,
+)
+from fugue_tpu.core.distributions import interval, POSITIVE, REAL, UNIT
+
+
+# ---------------------------------------------------------------------------
+# numerics (reference: src/core/numerical.rs tests)
+# ---------------------------------------------------------------------------
+
+
+def test_log_sum_exp_matches_naive():
+    x = jnp.array([-1.0, 0.5, 2.0, -3.0])
+    assert float(nm.log_sum_exp(x)) == pytest.approx(
+        float(np.log(np.exp(np.asarray(x)).sum())), rel=1e-12
+    )
+
+
+def test_log_sum_exp_extremes():
+    assert float(nm.log_sum_exp(jnp.array([-jnp.inf, -jnp.inf]))) == -np.inf
+    big = jnp.array([1000.0, 1000.0])
+    assert float(nm.log_sum_exp(big)) == pytest.approx(1000.0 + np.log(2.0))
+    assert np.isfinite(float(nm.log_sum_exp(jnp.array([-1e30, 0.0]))))
+
+
+def test_weighted_log_sum_exp():
+    x = jnp.array([0.0, 1.0])
+    lw = jnp.log(jnp.array([0.25, 0.75]))
+    expected = np.log(0.25 * 1 + 0.75 * np.e)
+    assert float(nm.weighted_log_sum_exp(x, lw)) == pytest.approx(expected)
+
+
+def test_normalize_log_probs():
+    p = nm.normalize_log_probs(jnp.array([0.0, 0.0, jnp.log(2.0)]))
+    np.testing.assert_allclose(np.asarray(p), [0.25, 0.25, 0.5], rtol=1e-6)
+    z = nm.normalize_log_probs(jnp.array([-jnp.inf, -jnp.inf]))
+    np.testing.assert_allclose(np.asarray(z), [0.0, 0.0])
+
+
+def test_log1p_exp_stable():
+    assert float(nm.log1p_exp(jnp.asarray(1000.0))) == pytest.approx(1000.0)
+    assert float(nm.log1p_exp(jnp.asarray(-1000.0))) == pytest.approx(0.0, abs=1e-12)
+    assert float(nm.log1p_exp(jnp.asarray(0.0))) == pytest.approx(np.log(2.0))
+
+
+def test_safe_log():
+    assert float(nm.safe_log(jnp.asarray(0.0))) == -np.inf
+    assert float(nm.safe_log(jnp.asarray(-1.0))) == -np.inf
+    assert float(nm.safe_log(jnp.asarray(np.e))) == pytest.approx(1.0)
+
+
+def test_softplus_inverse_roundtrip():
+    ys = jnp.array([1e-4, 0.1, 1.0, 10.0, 50.0])
+    np.testing.assert_allclose(
+        np.asarray(nm.softplus(nm.inv_softplus(ys))), np.asarray(ys), rtol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "t,zs",
+    [
+        (Identity(), [-2.0, 0.0, 3.0]),
+        (Exp(), [-2.0, 0.0, 3.0]),
+        (Sigmoid(), [-4.0, 0.0, 4.0]),
+        (AffineSigmoid(-1.0, 5.0), [-4.0, 0.0, 4.0]),
+    ],
+)
+def test_transform_roundtrip_and_jacobian(t, zs):
+    for z in zs:
+        z = jnp.asarray(z)
+        x = t.forward(z)
+        z_back = t.inverse(x)
+        assert float(z_back) == pytest.approx(float(z), abs=1e-6)
+        # |dx/dz| via autodiff must equal exp(log_det_jacobian)
+        grad = float(jax.grad(lambda zz: t.forward(zz))(z))
+        assert np.log(abs(grad)) == pytest.approx(
+            float(t.log_det_jacobian(z)), abs=1e-6
+        )
+
+
+def test_transform_selection_by_support():
+    assert isinstance(transform_for_support(REAL), Identity)
+    assert isinstance(transform_for_support(POSITIVE), Exp)
+    assert isinstance(transform_for_support(UNIT), Sigmoid)
+    t = transform_for_support(interval(2.0, 7.0))
+    assert isinstance(t, AffineSigmoid)
+    assert 2.0 < float(t.forward(jnp.asarray(0.0))) < 7.0
+    # dynamic bounds fall back to identity (reference -inf-rejection mode)
+    assert isinstance(transform_for_support(interval(None, None)), Identity)
+
+
+# ---------------------------------------------------------------------------
+# trace internals
+# ---------------------------------------------------------------------------
+
+
+def test_trace_typed_getters_and_kinds():
+    _, tr = ft.run(
+        ft.PriorHandler(jax.random.PRNGKey(0)),
+        lambda: (
+            ft.sample("f", ft.Normal(0.0, 1.0)),
+            ft.sample("b", ft.Bernoulli(0.5)),
+            ft.sample("i", ft.Poisson(2.0)),
+        ),
+    )
+    assert tr.get_real("f") is not None
+    assert tr.get_bool("b") is not None
+    assert tr.get_int("i") is not None
+    assert tr.get_real("b") is None  # wrong kind → None (Option flavor)
+    with pytest.raises(ft.TypeMismatchError):
+        tr.get_bool_result("f")
+    with pytest.raises(ft.TraceAccessError):
+        tr.get_real_result("missing")
+    assert sorted(tr.addresses()) == tr.sorted_addresses()
+
+
+def test_trace_is_pytree():
+    _, tr = ft.run(
+        ft.PriorHandler(jax.random.PRNGKey(1)),
+        lambda: ft.sample("x", ft.Normal(0.0, 1.0)),
+    )
+    leaves = jax.tree_util.tree_leaves(tr)
+    assert len(leaves) >= 4  # value, log_prob, three accumulators
+    doubled = jax.tree_util.tree_map(lambda x: x * 2, tr)
+    assert float(doubled.log_prior) == pytest.approx(2 * float(tr.log_prior))
+
+
+# ---------------------------------------------------------------------------
+# staging round-trips
+# ---------------------------------------------------------------------------
+
+
+def _model():
+    mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+    s = ft.sample("s", ft.LogNormal(0.0, 0.5))
+    p = ft.sample("p", ft.Beta(2.0, 2.0))
+    ft.observe("y", ft.Normal(mu, s), jnp.array([0.5, 1.0]))
+    return mu
+
+
+def test_unconstrain_constrain_roundtrip():
+    staged = ft.stage(_model)
+    latents = staged.sample_prior(jax.random.PRNGKey(0))
+    z = staged.unconstrain(latents)
+    assert z.shape == (3,)
+    back, logdet = staged.constrain(z)
+    for a in latents:
+        np.testing.assert_allclose(
+            np.asarray(back[a]), np.asarray(latents[a]), rtol=1e-6
+        )
+    assert np.isfinite(float(logdet))
+
+
+def test_potential_equals_neg_logjoint_plus_jacobian():
+    staged = ft.stage(_model)
+    latents = staged.sample_prior(jax.random.PRNGKey(1))
+    z = staged.unconstrain(latents)
+    _, logdet = staged.constrain(z)
+    lj = float(staged.log_joint(latents))
+    u = float(staged.potential(z))
+    assert u == pytest.approx(-(lj + float(logdet)), rel=1e-6)
+
+
+def test_flatten_constrained_roundtrip():
+    staged = ft.stage(_model)
+    latents = staged.sample_prior(jax.random.PRNGKey(2))
+    v = staged.flatten_constrained(latents)
+    back = staged.unflatten_constrained(v)
+    for a in latents:
+        np.testing.assert_allclose(
+            np.asarray(back[a]), np.asarray(latents[a]), rtol=1e-7
+        )
+
+
+def test_replay_partial_pins_and_redraws():
+    staged = ft.stage(_model)
+    r1, t1 = staged.replay_partial(jax.random.PRNGKey(3), {"mu": jnp.asarray(1.5)})
+    assert float(t1.get_real("mu")) == 1.5
+    r2, t2 = staged.replay_partial(jax.random.PRNGKey(4), {"mu": jnp.asarray(1.5)})
+    # pinned site identical, free sites redrawn
+    assert float(t1.get_real("s")) != float(t2.get_real("s"))
+
+
+def test_site_metadata():
+    staged = ft.stage(_model)
+    assert staged.dim == 3
+    assert [s.address for s in staged.sites] == ["mu", "p", "s"]
+    assert staged.site("p").support.kind == "unit"
+    assert staged.observed_addresses == ["y"]
+    with pytest.raises(ft.StagingError):
+        staged.site("nope")
