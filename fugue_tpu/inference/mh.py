@@ -251,6 +251,7 @@ def adaptive_mcmc_chain(
     initial_scale: float = 0.5,
     target_accept: float = TARGET_ACCEPT,
     staged: Optional[StagedModel] = None,
+    mesh=None,
 ) -> MHResult:
     """Adaptive single-site random-scan MH (reference driver: mh.rs:921-1011),
     vectorized over ``n_chains`` chains.
@@ -259,6 +260,11 @@ def adaptive_mcmc_chain(
     is frozen (FG-57). Model-evaluation contract preserved per chain:
     exactly ``1 + n_warmup + n_samples`` log-density evaluations
     (reference efficiency test: mh.rs:1186-1202).
+
+    ``mesh``: optional device mesh — the chain axis is annotated with a
+    sharding constraint and XLA distributes the fully chain-parallel kernel
+    (MH adaptation is per-chain, so no collectives are needed; this is pure
+    DP over the mesh).
     """
     if staged is None:
         staged = stage(model_fn, *model_args)
@@ -281,12 +287,26 @@ def adaptive_mcmc_chain(
             new, accepted = step_frozen(state, keys)
             return new, (new.latents, new.log_joint, accepted)
 
+        def shard_chains(tree):
+            if mesh is None:
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            from ..parallel.mesh import CHAIN_AXIS as _CA
+
+            def put(x):
+                spec = _P(_CA, *([None] * (jnp.ndim(x) - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec)
+                )
+
+            return jax.tree_util.tree_map(put, tree)
+
         def drive(k_all):
             init_keys = chain_keys(jax.random.fold_in(k_all, 0), n_chains)
             rk = jax.random.fold_in(k_all, 1)
-            states = jax.vmap(
+            states = shard_chains(jax.vmap(
                 lambda k: init_mh_state(staged, k, initial_scale)
-            )(init_keys)
+            )(init_keys))
             if n_warmup > 0:
                 warm_keys = jax.random.split(jax.random.fold_in(rk, 0), n_warmup)
                 states, _ = jax.lax.scan(warm_body, states, warm_keys)
@@ -302,7 +322,8 @@ def adaptive_mcmc_chain(
         else initial_scale
     )
     drive = staged.cached_kernel(
-        ("mh_drive", n_chains, n_samples, n_warmup, scale_key, target_accept),
+        ("mh_drive", n_chains, n_samples, n_warmup, scale_key, target_accept,
+         None if mesh is None else id(mesh)),
         build_drive,
     )
     final, lat, lj, acc = drive(key)

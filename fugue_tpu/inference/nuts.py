@@ -186,23 +186,21 @@ def nuts_transition(
 
             r_sum_new = r_sum + r_new
 
-            # sub-U-turn checks at odd leaves
+            # sub-U-turn checks at odd leaves — vectorized over all stack
+            # slots at once (a per-slot fori_loop here made the compiled
+            # program an order of magnitude larger)
             t_ones = _trailing_ones(i)
             pc = _popcount(i)
-
-            def check_slots(_):
-                def chk(k_slot, acc):
-                    in_range = (k_slot >= pc - t_ones) & (k_slot <= pc - 1)
-                    sub_sum = r_sum_new - sc[k_slot]
-                    bad = _uturn(sub_sum, rc[k_slot], r_new, inv_mass)
-                    return acc | (in_range & bad)
-
-                return jax.lax.fori_loop(0, max_depth + 1, chk, jnp.zeros((), bool))
-
-            is_odd = (i % 2) == 1
-            sub_turn = jax.lax.cond(
-                is_odd, check_slots, lambda _: jnp.zeros((), bool), None
+            slot_ids = jnp.arange(max_depth + 1, dtype=jnp.int32)
+            in_range = (slot_ids >= pc - t_ones) & (slot_ids <= pc - 1)
+            sub_sums = r_sum_new[None, :] - sc  # (slots, d)
+            v_starts = jax.vmap(lambda r: mass_velocity(inv_mass, r))(rc)
+            v_new = mass_velocity(inv_mass, r_new)
+            bad = (jnp.sum(sub_sums * v_starts, axis=-1) < 0) | (
+                sub_sums @ v_new < 0
             )
+            is_odd = (i % 2) == 1
+            sub_turn = is_odd & jnp.any(in_range & bad)
 
             turn = turn | sub_turn
             div = div | leaf_div

@@ -120,3 +120,17 @@ def _plate_model(ys):
     mu = ft.sample("mu", ft.Normal(0.0, 2.0))
     ft.observe("ys", ft.Normal(mu, 1.0), ys)
     return mu
+
+
+def test_sharded_mh(mesh):
+    """MH under jit sharding constraints: pure chain-DP over the mesh."""
+    from fugue_tpu.inference.mh import adaptive_mcmc_chain
+
+    res = adaptive_mcmc_chain(
+        jax.random.PRNGKey(9), coin_model, n_samples=400, n_warmup=200,
+        n_chains=64, mesh=mesh,
+    )
+    ps = np.asarray(res.samples["p"])
+    assert ps.shape == (64, 400)
+    assert ps.mean() == pytest.approx(14 / 24, abs=0.015)
+    assert len(res.final_state.log_joint.sharding.device_set) == 8
