@@ -142,3 +142,29 @@ def test_log_joint_grid():
 
 def test_hmc_session_reexported():
     assert HmcSession is not None
+
+
+def test_mh_session_pinned_scale():
+    """Pinned proposal scale: adaptation disabled (reference: WasmMh optional
+    pinned scale, mh.rs:16-80)."""
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([1.0]))
+        return mu
+
+    sess = MhSession(jax.random.PRNGKey(5), model, n_chains=4,
+                     pinned_scale=0.7)
+    sess.step(100)
+    scales = np.asarray(sess._state.adapt.scale())
+    np.testing.assert_allclose(scales, 0.7, rtol=1e-6)
+
+
+def test_particle_filter_resamples_on_low_ess():
+    pf = ParticleFilter(jax.random.PRNGKey(6), n_particles=256,
+                        process_sd=0.5, obs_sd=0.1)
+    # a jump forces weight collapse → resampling keeps ESS healthy and the
+    # filter re-locks onto the new level
+    for y in [0.0, 0.0, 3.0, 3.0, 3.0]:
+        est = pf.observe(y)
+    assert est["ess"] > 10
+    assert abs(est["mean"] - 3.0) < 0.3
