@@ -180,8 +180,13 @@ def nuts_transition(
             ) < (log_w_leaf - new_log_w)
             z_c = jnp.where(take, z_new, z_c)
 
-            # acceptance statistic
-            s_acc = s_acc + jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
+            # acceptance statistic — divergent/NaN leaves contribute 0, never
+            # NaN (an unguarded NaN here poisons the cross-chain pmean and
+            # with it the shared dual-averaging step size)
+            leaf_accept = jnp.where(
+                leaf_div, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
+            )
+            s_acc = s_acc + jnp.where(jnp.isfinite(leaf_accept), leaf_accept, 0.0)
             n_lv = n_lv + 1.0
 
             r_sum_new = r_sum + r_new

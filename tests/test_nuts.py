@@ -155,3 +155,23 @@ def test_dense_mass_nuts():
     xs = np.asarray(res.samples["x"])
     assert abs(xs.mean()) < 0.1
     assert float(split_r_hat(xs)) < 1.02
+
+
+def test_accept_stat_finite_on_nan_cliff():
+    """A potential that goes NaN off the support must yield accept_prob 0,
+    never NaN — an unguarded NaN here poisons the cross-chain pmean and the
+    shared dual-averaging state (regression: 1024-chain eight-schools run
+    froze every chain at depth 1)."""
+    def potential(z):
+        # NaN for z[0] <= 0
+        return 0.5 * jnp.sum(z * z) - jnp.log(z[0])
+
+    q = jnp.asarray([0.01, 0.0])
+    im = jnp.ones(2)
+    for seed in range(8):
+        _, info = nuts_transition(
+            potential, q, jax.random.PRNGKey(seed), 5.0, im, max_depth=4
+        )
+        ap = float(info["accept_prob"])
+        assert np.isfinite(ap), f"seed {seed}: accept_prob={ap}"
+        assert 0.0 <= ap <= 1.0
