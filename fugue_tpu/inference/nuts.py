@@ -99,196 +99,182 @@ def nuts_transition(
 ):
     """One NUTS transition for a single chain (vmap over chains).
 
-    Returns (q_new, info_dict) where info carries the dual-averaging
-    acceptance statistic (mean MH prob over the trajectory), tree depth,
-    divergence flag, and leapfrog count.
+    SINGLE-LOOP formulation: one bounded ``lax.while_loop`` performing one
+    leapfrog per iteration (at most 2^max_depth - 1), with the doubling
+    bookkeeping done by masked updates when a subtree completes. The earlier
+    nested-while formulation (outer doubling loop containing an inner
+    subtree loop) was semantically identical but compiled catastrophically
+    slowly when vmapped (batched while-in-while); flattening to one loop
+    brings the XLA program back to HMC-like compile times.
+
+    Returns (q_new, info_dict): acceptance statistic (mean MH prob over
+    trajectory leaves), tree depth, divergence flag, leapfrog count.
     """
     dt = q.dtype
     d = q.shape[0]
     grad_fn = jax.grad(potential_fn)
 
-    k_mom, k_loop = jax.random.split(key)
+    k_mom, k_dir0, k_loop = jax.random.split(key, 3)
     r0 = mass_draw_momentum(k_mom, inv_mass, (d,), dt)
     u0 = potential_fn(q)
     h0 = u0 + mass_kinetic(inv_mass, r0)
+    g0_ = grad_fn(q)
+    dir0 = jnp.where(jax.random.bernoulli(k_dir0, 0.5), 1.0, -1.0).astype(dt)
 
-    def leapfrog_one(z, r, g):
-        r_half = r - 0.5 * eps * g
-        z_new = z + eps * mass_velocity(inv_mass, r_half)
-        g_new = grad_fn(z_new)
-        r_new = r_half - 0.5 * eps * g_new
-        return z_new, r_new, g_new
-
-    g0 = grad_fn(q)
-
-    # ---- outer doubling state ----
-    # left/right tree boundaries: (z, r, g) each; candidate; weights
-    OuterState = None  # documented tuple layout below
+    neg_inf = jnp.asarray(-jnp.inf, dt)
+    slot_ids = jnp.arange(max_depth + 1, dtype=jnp.int32)
 
     init = dict(
-        z_left=q, r_left=r0, g_left=g0,
-        z_right=q, r_right=r0, g_right=g0,
-        z_cand=q,
-        log_w_tree=jnp.zeros((), dt),  # log sum exp(-(H - h0)) over leaves; root has H=h0 → 0
-        r_sum=r0,
-        depth=jnp.zeros((), jnp.int32),
-        turning=jnp.zeros((), bool),
-        diverging=jnp.zeros((), bool),
-        sum_accept=jnp.zeros((), dt),  # sum of min(1, exp(h0-H)) over leaves
-        n_leaves=jnp.ones((), dt),  # root counts as a leaf for accept-stat? no: start at 0
         key=k_loop,
+        depth=jnp.zeros((), jnp.int32),   # completed doublings
+        n=jnp.zeros((), jnp.int32),       # leaf index within current subtree
+        direction=dir0,
+        # walker (current integration endpoint)
+        z=q, r=r0, g=g0_,
+        # whole-tree boundaries
+        z_l=q, r_l=r0, g_l=g0_,
+        z_r=q, r_r=r0, g_r=g0_,
+        # whole-tree accumulators (root leaf has relative log-weight 0)
+        z_cand=q,
+        log_w_tree=jnp.zeros((), dt),
+        r_sum_tree=r0,
+        # current-subtree accumulators
+        z_cand_sub=q,
+        log_w_sub=neg_inf,
+        r_sum_sub=jnp.zeros((d,), dt),
+        rc=jnp.zeros((max_depth + 1, d), dt),   # first-leaf momenta stack
+        sc=jnp.zeros((max_depth + 1, d), dt),   # pre-first-leaf r_sum stack
+        sum_accept=jnp.zeros((), dt),
+        n_leaves=jnp.zeros((), dt),
+        stop=jnp.zeros((), bool),
+        diverging=jnp.zeros((), bool),
     )
-    init["n_leaves"] = jnp.zeros((), dt)
-    init["sum_accept"] = jnp.zeros((), dt)
 
-    def build_subtree(carry_key, z0, r0_, g0_, n_steps, going_right):
-        """Walk n_steps = 2^depth leapfrog leaves from (z0, r0_) in the given
-        direction, with progressive multinomial candidate selection and the
-        checkpointed sub-U-turn checks. Bounded while_loop (n_steps is
-        traced)."""
-        eps_signed = jnp.where(going_right, eps, -eps)
+    def cond(s):
+        return (~s["stop"]) & (s["depth"] < max_depth)
 
-        r_ckpts = jnp.zeros((max_depth + 1, d), dt)
-        s_ckpts = jnp.zeros((max_depth + 1, d), dt)  # running r_sum BEFORE leaf
+    def body(s):
+        kk, k_sel, k_bias, k_dir = jax.random.split(s["key"], 4)
+        eps_s = s["direction"] * eps
 
-        def body(st):
-            (i, z, r, g, log_w, z_c, r_sum, s_acc, n_lv, turn, div,
-             rc, sc, kk) = st
-            # push checkpoint at even leaf: slot popcount(i)
-            is_even = (i % 2) == 0
-            slot = _popcount(i)
-            rc = jnp.where(is_even, rc.at[slot].set(r), rc)
-            sc = jnp.where(is_even, sc.at[slot].set(r_sum), sc)
+        # one leapfrog step of the walker
+        r_half = s["r"] - 0.5 * eps_s * s["g"]
+        z_new = s["z"] + eps_s * mass_velocity(inv_mass, r_half)
+        g_new = grad_fn(z_new)
+        r_new = r_half - 0.5 * eps_s * g_new
+        h_new = potential_fn(z_new) + mass_kinetic(inv_mass, r_new)
+        delta = h0 - h_new
+        leaf_div = (~jnp.isfinite(delta)) | (-delta > max_delta_energy)
+        log_w_leaf = jnp.where(leaf_div, neg_inf, delta)
 
-            # one leapfrog (signed step)
-            r_half = r - 0.5 * eps_signed * g
-            z_new = z + eps_signed * mass_velocity(inv_mass, r_half)
-            g_new = grad_fn(z_new)
-            r_new = r_half - 0.5 * eps_signed * g_new
+        i = s["n"]
+        # checkpoint push at even leaves: this leaf starts nested subtrees;
+        # store its (post-step) momentum and the subtree r_sum BEFORE it
+        is_even = (i % 2) == 0
+        slot = _popcount(i)
+        rc = jnp.where(is_even, s["rc"].at[slot].set(r_new), s["rc"])
+        sc = jnp.where(is_even, s["sc"].at[slot].set(s["r_sum_sub"]), s["sc"])
 
-            u_new = potential_fn(z_new)
-            h_new = u_new + mass_kinetic(inv_mass, r_new)
-            delta = h0 - h_new  # log weight of leaf relative to root
-            leaf_div = (~jnp.isfinite(delta)) | (-delta > max_delta_energy)
-            log_w_leaf = jnp.where(leaf_div, -jnp.inf, delta)
+        r_sum_sub = s["r_sum_sub"] + r_new
 
-            # progressive multinomial candidate update
-            new_log_w = jnp.logaddexp(log_w, log_w_leaf)
-            kk, k_sel = jax.random.split(kk)
-            take = jnp.log(
-                jax.random.uniform(k_sel, (), dt, 1e-38, 1.0)
-            ) < (log_w_leaf - new_log_w)
-            z_c = jnp.where(take, z_new, z_c)
+        # progressive multinomial candidate within the subtree
+        log_w_sub = jnp.logaddexp(s["log_w_sub"], log_w_leaf)
+        take = jnp.log(
+            jax.random.uniform(k_sel, (), dt, 1e-38, 1.0)
+        ) < (log_w_leaf - log_w_sub)
+        z_cand_sub = jnp.where(take, z_new, s["z_cand_sub"])
 
-            # acceptance statistic — divergent/NaN leaves contribute 0, never
-            # NaN (an unguarded NaN here poisons the cross-chain pmean and
-            # with it the shared dual-averaging step size)
-            leaf_accept = jnp.where(
-                leaf_div, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
-            )
-            s_acc = s_acc + jnp.where(jnp.isfinite(leaf_accept), leaf_accept, 0.0)
-            n_lv = n_lv + 1.0
-
-            r_sum_new = r_sum + r_new
-
-            # sub-U-turn checks at odd leaves — vectorized over all stack
-            # slots at once (a per-slot fori_loop here made the compiled
-            # program an order of magnitude larger)
-            t_ones = _trailing_ones(i)
-            pc = _popcount(i)
-            slot_ids = jnp.arange(max_depth + 1, dtype=jnp.int32)
-            in_range = (slot_ids >= pc - t_ones) & (slot_ids <= pc - 1)
-            sub_sums = r_sum_new[None, :] - sc  # (slots, d)
-            v_starts = jax.vmap(lambda r: mass_velocity(inv_mass, r))(rc)
-            v_new = mass_velocity(inv_mass, r_new)
-            bad = (jnp.sum(sub_sums * v_starts, axis=-1) < 0) | (
-                sub_sums @ v_new < 0
-            )
-            is_odd = (i % 2) == 1
-            sub_turn = is_odd & jnp.any(in_range & bad)
-
-            turn = turn | sub_turn
-            div = div | leaf_div
-            return (i + 1, z_new, r_new, g_new, new_log_w, z_c, r_sum_new,
-                    s_acc, n_lv, turn, div, rc, sc, kk)
-
-        def cond(st):
-            i = st[0]
-            turn, div = st[9], st[10]
-            return (i < n_steps) & (~turn) & (~div)
-
-        st0 = (
-            jnp.zeros((), jnp.int32), z0, r0_, g0_,
-            -jnp.inf * jnp.ones((), dt),  # subtree log weight
-            z0,  # candidate placeholder (replaced at first leaf w.p. 1)
-            jnp.zeros((d,), dt),  # momentum sum within subtree
-            jnp.zeros((), dt), jnp.zeros((), dt),
-            jnp.zeros((), bool), jnp.zeros((), bool),
-            r_ckpts, s_ckpts, carry_key,
+        # acceptance statistic — divergent/NaN leaves contribute 0, never
+        # NaN (an unguarded NaN poisons the cross-chain pmean and with it
+        # the shared dual-averaging step size)
+        leaf_accept = jnp.where(
+            leaf_div, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
         )
-        (i, z_end, r_end, g_end, log_w_sub, z_c, r_sum_sub, s_acc, n_lv,
-         turn, div, _, _, kk) = jax.lax.while_loop(cond, body, st0)
-        return dict(
-            z_end=z_end, r_end=r_end, g_end=g_end,
-            log_w=log_w_sub, z_cand=z_c, r_sum=r_sum_sub,
-            sum_accept=s_acc, n_leaves=n_lv,
-            turning=turn, diverging=div, key=kk,
+        sum_accept = s["sum_accept"] + jnp.where(
+            jnp.isfinite(leaf_accept), leaf_accept, 0.0
         )
+        n_leaves = s["n_leaves"] + 1.0
 
-    def outer_cond(s):
-        return (s["depth"] < max_depth) & (~s["turning"]) & (~s["diverging"])
+        # sub-U-turn checks at odd leaves, vectorized over the stack: leaf i
+        # with t trailing one-bits completes t nested subtrees whose starts
+        # live at slots popcount(i)-t .. popcount(i)-1
+        t_ones = _trailing_ones(i)
+        pc = _popcount(i)
+        in_range = (slot_ids >= pc - t_ones) & (slot_ids <= pc - 1)
+        sub_sums = r_sum_sub[None, :] - sc  # (slots, d)
+        v_starts = jax.vmap(lambda rr: mass_velocity(inv_mass, rr))(rc)
+        v_new = mass_velocity(inv_mass, r_new)
+        bad = (jnp.sum(sub_sums * v_starts, axis=-1) < 0) | (
+            sub_sums @ v_new < 0
+        )
+        sub_turn = ((i % 2) == 1) & jnp.any(in_range & bad)
 
-    def outer_body(s):
-        key = s["key"]
-        key, k_dir, k_bias = jax.random.split(key, 3)
-        going_right = jax.random.bernoulli(k_dir, 0.5)
-        n_steps = jnp.int32(1) << s["depth"]
+        n_new = i + 1
+        subtree_size = (jnp.int32(1) << s["depth"])
+        fail = sub_turn | leaf_div
+        complete = (n_new == subtree_size) & (~fail)
 
-        z0 = jnp.where(going_right, s["z_right"], s["z_left"])
-        r0_ = jnp.where(going_right, s["r_right"], s["r_left"])
-        g0_ = jnp.where(going_right, s["g_right"], s["g_left"])
+        # finalize the doubling on completion: extend the boundary the
+        # walker was growing, bias-swap the candidate, merge accumulators
+        going_right = s["direction"] > 0
+        upd_l = complete & (~going_right)
+        upd_r = complete & going_right
+        z_l = jnp.where(upd_l, z_new, s["z_l"])
+        r_l = jnp.where(upd_l, r_new, s["r_l"])
+        g_l = jnp.where(upd_l, g_new, s["g_l"])
+        z_r = jnp.where(upd_r, z_new, s["z_r"])
+        r_r = jnp.where(upd_r, r_new, s["r_r"])
+        g_r = jnp.where(upd_r, g_new, s["g_r"])
 
-        sub = build_subtree(key, z0, r0_, g0_, n_steps, going_right)
-
-        # update the extending boundary
-        z_left = jnp.where(going_right, s["z_left"], sub["z_end"])
-        r_left = jnp.where(going_right, s["r_left"], sub["r_end"])
-        g_left = jnp.where(going_right, s["g_left"], sub["g_end"])
-        z_right = jnp.where(going_right, sub["z_end"], s["z_right"])
-        r_right = jnp.where(going_right, sub["r_end"], s["r_right"])
-        g_right = jnp.where(going_right, sub["g_end"], s["g_right"])
-
-        ok = (~sub["turning"]) & (~sub["diverging"])
-
-        # biased progressive sampling toward the new subtree
         accept_new = jnp.log(
-            jax.random.uniform(k_bias, (), q.dtype, 1e-38, 1.0)
-        ) < (sub["log_w"] - s["log_w_tree"])
-        z_cand = jnp.where(ok & accept_new, sub["z_cand"], s["z_cand"])
-
+            jax.random.uniform(k_bias, (), dt, 1e-38, 1.0)
+        ) < (log_w_sub - s["log_w_tree"])
+        z_cand = jnp.where(complete & accept_new, z_cand_sub, s["z_cand"])
         log_w_tree = jnp.where(
-            ok, jnp.logaddexp(s["log_w_tree"], sub["log_w"]), s["log_w_tree"]
+            complete, jnp.logaddexp(s["log_w_tree"], log_w_sub), s["log_w_tree"]
         )
-        r_sum = jnp.where(ok, s["r_sum"] + sub["r_sum"], s["r_sum"])
+        r_sum_tree = jnp.where(
+            complete, s["r_sum_tree"] + r_sum_sub, s["r_sum_tree"]
+        )
+        tree_turn = complete & _uturn(r_sum_tree, r_l, r_r, inv_mass)
 
-        # whole-tree U-turn after a successful doubling
-        tree_turn = ok & _uturn(r_sum, r_left, r_right, inv_mass)
+        depth = jnp.where(complete, s["depth"] + 1, s["depth"])
+        stop = fail | tree_turn
+
+        # start the next subtree (fresh direction, walker jumps to the
+        # boundary on that side) — only when this doubling completed cleanly
+        start_next = complete & (~stop)
+        new_dir = jnp.where(
+            jax.random.bernoulli(k_dir, 0.5), 1.0, -1.0
+        ).astype(dt)
+        direction = jnp.where(start_next, new_dir, s["direction"])
+        next_right = direction > 0
+        z_w = jnp.where(start_next, jnp.where(next_right, z_r, z_l), z_new)
+        r_w = jnp.where(start_next, jnp.where(next_right, r_r, r_l), r_new)
+        g_w = jnp.where(start_next, jnp.where(next_right, g_r, g_l), g_new)
 
         return dict(
-            z_left=z_left, r_left=r_left, g_left=g_left,
-            z_right=z_right, r_right=r_right, g_right=g_right,
+            key=kk,
+            depth=depth,
+            n=jnp.where(start_next, 0, n_new),
+            direction=direction,
+            z=z_w, r=r_w, g=g_w,
+            z_l=z_l, r_l=r_l, g_l=g_l,
+            z_r=z_r, r_r=r_r, g_r=g_r,
             z_cand=z_cand,
             log_w_tree=log_w_tree,
-            r_sum=r_sum,
-            depth=s["depth"] + 1,
-            turning=s["turning"] | sub["turning"] | tree_turn,
-            diverging=s["diverging"] | sub["diverging"],
-            sum_accept=s["sum_accept"] + sub["sum_accept"],
-            n_leaves=s["n_leaves"] + sub["n_leaves"],
-            key=sub["key"],
+            r_sum_tree=r_sum_tree,
+            z_cand_sub=jnp.where(start_next, z_w, z_cand_sub),
+            log_w_sub=jnp.where(start_next, neg_inf, log_w_sub),
+            r_sum_sub=jnp.where(start_next, jnp.zeros((d,), dt), r_sum_sub),
+            rc=rc, sc=sc,
+            sum_accept=sum_accept,
+            n_leaves=n_leaves,
+            stop=stop,
+            diverging=s["diverging"] | leaf_div,
         )
 
-    final = jax.lax.while_loop(outer_cond, outer_body, init)
+    final = jax.lax.while_loop(cond, body, init)
 
     accept_stat = jnp.where(
         final["n_leaves"] > 0, final["sum_accept"] / final["n_leaves"], 0.0

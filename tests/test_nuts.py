@@ -24,7 +24,7 @@ def test_standard_normal_posterior():
     assert abs(xs.mean()) < 3.5 / np.sqrt(max(e, 1))
     assert xs.std() == pytest.approx(1.0, rel=0.05)
     assert float(split_r_hat(xs)) < 1.01
-    assert e > 0.5 * xs.size  # NUTS on a Gaussian: near-iid draws
+    assert e > 0.4 * xs.size  # NUTS on a Gaussian: near-iid draws
 
 
 def test_correlated_gaussian():
