@@ -62,6 +62,13 @@ class NUTSConfig:
     max_delta_energy: float = 1000.0
     init: str = "uniform"  # see HMCConfig.init
     mass: str = "diag"  # see HMCConfig.mass
+    # loop mode for the tree build: "while" exits as soon as the tree
+    # stops (fewest leapfrogs; compiles fast everywhere except the axon
+    # TPU remote compiler, which is pathologically slow on batched
+    # while_loops); "scan" always runs 2^max_depth - 1 masked leapfrog
+    # iterations (wasted FLOPs on short trees, but compiles like HMC).
+    # None → auto: "scan" on TPU backends, "while" elsewhere.
+    loop: Optional[str] = None
 
 
 def _popcount(n):
@@ -88,6 +95,15 @@ def _uturn(r_sum, r_left, r_right, inv_mass):
     return (jnp.dot(r_sum, v_left) < 0) | (jnp.dot(r_sum, v_right) < 0)
 
 
+def _auto_loop_mode(loop: Optional[str]) -> str:
+    if loop is not None:
+        return loop
+    try:
+        return "scan" if jax.devices()[0].platform == "tpu" else "while"
+    except Exception:
+        return "while"
+
+
 def nuts_transition(
     potential_fn: Callable,
     q,
@@ -96,6 +112,7 @@ def nuts_transition(
     inv_mass,
     max_depth: int = 8,
     max_delta_energy: float = 1000.0,
+    loop: str = "while",
 ):
     """One NUTS transition for a single chain (vmap over chains).
 
@@ -274,7 +291,23 @@ def nuts_transition(
             diverging=s["diverging"] | leaf_div,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    if loop == "scan":
+        # masked fixed-trip scan: identical semantics, always 2^max_depth-1
+        # iterations — the compile-friendly form for backends that struggle
+        # with batched while_loops
+        def scan_body(s, _):
+            active = cond(s)
+            s_new = body(s)
+            merged = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), s_new, s
+            )
+            return merged, None
+
+        final, _ = jax.lax.scan(
+            scan_body, init, None, length=(1 << max_depth) - 1
+        )
+    else:
+        final = jax.lax.while_loop(cond, body, init)
 
     accept_stat = jnp.where(
         final["n_leaves"] > 0, final["sum_accept"] / final["n_leaves"], 0.0
@@ -341,10 +374,11 @@ def nuts_chain(
             eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
         da0 = DualAveragingState.init(eps0)
 
+        loop_mode = _auto_loop_mode(config.loop)
         vstep = jax.vmap(
             lambda q, k, eps, im: nuts_transition(
                 potential, q, k, eps, im, config.max_depth,
-                config.max_delta_energy,
+                config.max_delta_energy, loop_mode,
             ),
             in_axes=(0, 0, None, None),
         )

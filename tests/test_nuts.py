@@ -175,3 +175,21 @@ def test_accept_stat_finite_on_nan_cliff():
         ap = float(info["accept_prob"])
         assert np.isfinite(ap), f"seed {seed}: accept_prob={ap}"
         assert 0.0 <= ap <= 1.0
+
+
+def test_scan_loop_mode_matches_statistics():
+    """Masked-scan tree build gives the same posterior as the while-loop
+    build (identical semantics, fixed trip count)."""
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([1.0, 1.2]))
+        return mu
+
+    res = nuts_chain(
+        jax.random.PRNGKey(11), model, n_samples=800, n_warmup=400,
+        config=NUTSConfig(max_depth=5, loop="scan"), n_chains=8,
+    )
+    tau = 0.25 + 2.0
+    mus = np.asarray(res.samples["mu"])
+    assert mus.mean() == pytest.approx(2.2 / tau, abs=0.04)
+    assert float(split_r_hat(mus)) < 1.01
