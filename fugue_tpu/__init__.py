@@ -61,8 +61,10 @@ from .core.distributions import (
 )
 from .core.model import (
     Model,
+    cond,
     factor,
     guard,
+    masked,
     observe,
     plate,
     pure,

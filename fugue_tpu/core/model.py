@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .address import Address, addr
@@ -60,6 +61,108 @@ class _HandlerScope:
 
 
 # ---------------------------------------------------------------------------
+# Branch masks (bounded-branch conditionals; see ``masked`` / ``cond``)
+# ---------------------------------------------------------------------------
+
+_MASK_STACK: List[Any] = []
+
+
+def _active_mask():
+    """AND of all enclosing ``masked`` regions, or None outside any."""
+    if not _MASK_STACK:
+        return None
+    m = _MASK_STACK[0]
+    for x in _MASK_STACK[1:]:
+        m = jnp.logical_and(m, x)
+    return m
+
+
+class _MaskedDistribution:
+    """Duck-typed wrapper: same sampling, log_prob zeroed where inactive.
+
+    Applied only to *observe* sites inside ``masked`` regions; latent sites
+    keep their prior density unmasked (Carlin-Chib pseudo-prior convention),
+    so the extended-space joint stays proper — inactive coordinates are
+    prior-distributed instead of living on an improper flat direction that
+    would break HMC/NUTS geometry.
+    """
+
+    __slots__ = ("dist", "mask")
+
+    def __init__(self, dist, mask):
+        self.dist = dist
+        self.mask = mask
+
+    @property
+    def support(self):
+        return self.dist.support
+
+    def sample(self, key, sample_shape=()):
+        return self.dist.sample(key, sample_shape)
+
+    def log_prob(self, value):
+        lp = self.dist.log_prob(value)
+        return jnp.where(self.mask, lp, jnp.zeros_like(lp))
+
+    def __repr__(self):
+        return f"Masked({self.dist!r})"
+
+
+class masked:
+    """Context manager: observe/factor effects inside contribute their
+    log-weight only where ``condition`` is True.
+
+    The TPU-native form of a data-dependent branch: the region's sites always
+    execute (static site table, static shapes — XLA requirement), but the
+    inactive branch's likelihood and factor terms are zeroed. Latent sites
+    inside keep their prior term (pseudo-prior; see ``_MaskedDistribution``),
+    which leaves posterior marginals of the *active* branch exactly correct.
+    Nested regions AND together. Reference context: fugue supports
+    structure-varying models via RJMCMC trace reconciliation
+    (interpreters.rs:683-799); bounded-branch masking is the static-shape
+    counterpart for enumerable structure.
+    """
+
+    def __init__(self, condition):
+        self.condition = jnp.asarray(condition)
+
+    def __enter__(self):
+        _MASK_STACK.append(self.condition)
+        return self.condition
+
+    def __exit__(self, *exc):
+        _MASK_STACK.pop()
+        return False
+
+
+def cond(pred, true_fn: Callable[[], Any], false_fn: Optional[Callable[[], Any]] = None):
+    """Bounded-branch conditional over a traced predicate.
+
+    Runs BOTH branches (so the site table and all shapes are static under
+    jit), masks each branch's observe/factor contributions by the predicate,
+    and where-selects the return value leaf-wise. Branches must use distinct
+    addresses. ``false_fn`` may be omitted for a one-armed conditional.
+
+    This is the supported encoding of enumerable structure-varying models
+    (SURVEY hard-part #1): unbounded/open-universe structure is out of scope
+    on static-shape hardware; use ``adaptive_mcmc_chain_dynamic`` (host-side
+    RJMCMC) for that.
+    """
+    pred = jnp.asarray(pred)
+    with masked(pred):
+        tv = true_fn()
+    if false_fn is None:
+        return tv
+    with masked(jnp.logical_not(pred)):
+        fv = false_fn()
+    if tv is None and fv is None:
+        return None
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(pred, a, b), tv, fv
+    )
+
+
+# ---------------------------------------------------------------------------
 # Effects (reference smart constructors: model.rs:144-716)
 # ---------------------------------------------------------------------------
 
@@ -68,7 +171,9 @@ def sample(address, dist: Distribution, sample_shape: Tuple[int, ...] = ()):
     """Draw a latent value at ``address`` from ``dist``.
 
     Reference: ``Model::sample`` (model.rs:258). The handler decides what
-    "draw" means (fresh prior draw, replay, score-only, ...).
+    "draw" means (fresh prior draw, replay, score-only, ...). Inside a
+    ``masked`` region the site's prior term is intentionally NOT masked
+    (pseudo-prior convention — see ``masked``).
     """
     return _current_handler().on_sample(str(address), dist, tuple(sample_shape))
 
@@ -77,14 +182,24 @@ def observe(address, dist: Distribution, value):
     """Condition on ``value`` observed from ``dist``.
 
     Reference: ``Model::observe`` (model.rs:397). ``value`` may be an array;
-    its summed log_prob accumulates into log_likelihood.
+    its summed log_prob accumulates into log_likelihood. Inside a ``masked``
+    region the contribution is zeroed where the mask is False.
     """
+    mask = _active_mask()
+    if mask is not None:
+        dist = _MaskedDistribution(dist, mask)
     return _current_handler().on_observe(str(address), dist, value)
 
 
 def factor(log_weight):
-    """Add an arbitrary log-weight term (reference: model.rs:426)."""
-    _current_handler().on_factor(jnp.asarray(log_weight))
+    """Add an arbitrary log-weight term (reference: model.rs:426). Inside a
+    ``masked`` region the term is zeroed where the mask is False (via
+    ``where``, so a masked ``-inf`` contributes 0, not NaN)."""
+    lw = jnp.asarray(log_weight)
+    mask = _active_mask()
+    if mask is not None:
+        lw = jnp.where(mask, lw, jnp.zeros_like(lw))
+    _current_handler().on_factor(lw)
 
 
 def guard(condition):

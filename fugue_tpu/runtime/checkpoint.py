@@ -11,9 +11,10 @@ single ``.npz`` file keyed by tree paths. ``load_checkpoint`` takes a
 template pytree (e.g. the freshly-initialized state) so structure never
 depends on unpickling arbitrary objects.
 
-For multi-host pod checkpoints, pair with orbax (available in the
-environment) — this module covers the single-controller case without extra
-dependencies.
+``save_checkpoint_sharded`` / ``load_checkpoint_sharded`` cover the
+multi-host pod case via orbax: each host writes only the shards of
+mesh-sharded arrays it owns, and restore re-places shards onto the template's
+``Sharding`` — the state never has to fit on (or move through) one host.
 """
 
 from __future__ import annotations
@@ -65,3 +66,52 @@ def load_checkpoint(path: str, template: Any) -> Any:
             )
         new_leaves = [jax.numpy.asarray(data[p]) for p in paths]
     return jax.tree_util.tree_unflatten(leaves_t[1], new_leaves)
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-host) checkpoints via orbax
+# ---------------------------------------------------------------------------
+
+
+def _abstract_like(template: Any) -> Any:
+    """Template pytree → abstract arrays carrying shape/dtype/sharding, the
+    form orbax needs to restore each shard onto the right devices without
+    materializing the full array per host."""
+    import jax.numpy as jnp
+
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        arr = jnp.asarray(x)
+        return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+
+    return jax.tree_util.tree_map(leaf, template)
+
+
+def save_checkpoint_sharded(path: str, state: Any) -> None:
+    """Checkpoint a pytree that may contain mesh-sharded ``jax.Array``s.
+
+    Uses orbax's OCDBT/zarr format: on a multi-host mesh every process writes
+    only its local shards (no gather), and the write is atomic (finalized
+    directory rename). ``path`` is a directory, created if needed.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(_path_abs(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_checkpoint_sharded(path: str, template: Any) -> Any:
+    """Restore a pytree saved by ``save_checkpoint_sharded``. ``template``
+    supplies structure, dtypes and — for ``jax.Array`` leaves — the target
+    ``Sharding``, so each host reads only the shards it will own."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(_path_abs(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, _abstract_like(template))
+
+
+def _path_abs(path) -> str:
+    return os.fspath(path)

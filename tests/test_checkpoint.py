@@ -72,3 +72,64 @@ def test_atomic_overwrite(tmp_path):
     out = load_checkpoint(path, {"v": jnp.array(0.0)})
     assert float(out["v"]) == 2.0
     assert not os.path.exists(path + ".tmp")
+
+
+# ---------------------------------------------------------------------------
+# Sharded (orbax) checkpoints — multi-host pod path, tested on the 8-device
+# CPU mesh (SURVEY.md §5 "Checkpoint/resume")
+# ---------------------------------------------------------------------------
+
+
+def _sharded_state():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("chains",))
+    sharding = NamedSharding(mesh, P("chains"))
+    positions = jax.device_put(jnp.arange(64.0).reshape(8, 8), sharding)
+    return {
+        "positions": positions,
+        "key": jax.random.PRNGKey(3),
+        "step": jnp.array(17),
+    }, sharding
+
+
+def test_sharded_roundtrip_preserves_values_and_sharding(tmp_path):
+    from fugue_tpu.runtime.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    state, sharding = _sharded_state()
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint_sharded(path, state)
+    restored = load_checkpoint_sharded(path, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored["positions"]), np.asarray(state["positions"])
+    )
+    np.testing.assert_array_equal(np.asarray(restored["key"]), np.asarray(state["key"]))
+    assert int(restored["step"]) == 17
+    # the restored array is placed with the template's sharding
+    assert restored["positions"].sharding.is_equivalent_to(sharding, 2)
+
+
+def test_sharded_restore_onto_different_layout(tmp_path):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fugue_tpu.runtime.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    state, _ = _sharded_state()
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint_sharded(path, state)
+
+    # resume onto a DIFFERENT mesh layout (e.g. new pod slice shape)
+    mesh2 = Mesh(np.array(jax.devices()).reshape(4, 2), ("chains", "model"))
+    s2 = NamedSharding(mesh2, P("model", "chains"))
+    template = dict(state)
+    template["positions"] = jax.device_put(jnp.zeros((8, 8)), s2)
+    restored = load_checkpoint_sharded(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored["positions"]), np.asarray(state["positions"])
+    )
+    assert restored["positions"].sharding.is_equivalent_to(s2, 2)
