@@ -176,6 +176,41 @@ def init_mh_state(staged: StagedModel, key, initial_scale=0.5) -> MHState:
     return MHState(latents=latents, log_joint=lj, adapt=adapt)
 
 
+def _packed_meta(staged: StagedModel):
+    """Static per-coordinate proposal metadata over the continuous flat
+    layout: owning-site index, kind masks, interval bounds. Computed once
+    per staged model (numpy, trace-time constants)."""
+    meta = getattr(staged, "_mh_packed_meta", None)
+    if meta is not None:
+        return meta
+    dim = staged.dim
+    site_of = np.zeros(dim, np.int32)
+    is_pos = np.zeros(dim, bool)
+    is_int = np.zeros(dim, bool)
+    lo = np.zeros(dim, np.float64)
+    hi = np.ones(dim, np.float64)
+    for s in staged.continuous_sites:
+        a, b = staged._offsets[s.address]
+        site_of[a:b] = staged.site_index[s.address]
+        kind = s.support.kind
+        if kind == "positive":
+            is_pos[a:b] = True
+        elif kind == "unit":
+            is_int[a:b] = True
+        elif (
+            kind == "interval"
+            and s.support.low is not None
+            and s.support.high is not None
+        ):
+            is_int[a:b] = True
+            shape = s.shape if s.shape else ()
+            lo[a:b] = np.ravel(np.broadcast_to(np.asarray(s.support.low, np.float64), shape))
+            hi[a:b] = np.ravel(np.broadcast_to(np.asarray(s.support.high, np.float64), shape))
+    meta = (site_of, is_pos, is_int, lo, hi)
+    staged._mh_packed_meta = meta
+    return meta
+
+
 def mh_step(
     staged: StagedModel,
     state: MHState,
@@ -189,24 +224,58 @@ def mh_step(
     Per-chain function — ``vmap`` it over a batch of states/keys.
     ``log_density_fn`` overrides the target (e.g. SMC's tempered
     pi_beta = prior + beta * likelihood); defaults to the full joint.
+
+    Proposals for ALL continuous sites are packed into one flat-vector op
+    (one normal draw + fused elementwise candidate/selection math, constant
+    op count in #sites); only discrete sites loop. This is the TPU analog of
+    the reference's per-site proposal dispatch (mh.rs:146-295) — the drawn
+    site still changes alone, so the single-site kernel and its Hastings
+    terms are unchanged.
     """
     target = log_density_fn if log_density_fn is not None else staged.log_joint
     sites = staged.sites
     n_sites = len(sites)
-    k_site, k_acc, *k_props = jax.random.split(key, 2 + n_sites)
+    d_sites = staged.discrete_sites
+    k_site, k_acc, k_cont, *k_disc = jax.random.split(key, 3 + len(d_sites))
     idx = jax.random.randint(k_site, (), 0, n_sites)
     scales = state.adapt.scale()
 
-    proposed: Dict[str, Any] = {}
-    corrections = []
-    for j, s in enumerate(sites):
+    proposed: Dict[str, Any] = dict(state.latents)
+    hastings = jnp.zeros((), settings.real_dtype())
+
+    if staged.dim > 0:
+        site_of, is_pos, is_int, lo, hi = _packed_meta(staged)
+        z = staged.flatten_constrained(state.latents)
+        dt = z.dtype
+        s_coord = scales[site_of]  # static-index gather: per-coordinate scale
+        eps = jax.random.normal(k_cont, (staged.dim,), dt)
+        width = jnp.asarray(np.where(is_int, hi - lo, 1.0), dt)
+        cand = z + s_coord * width * eps  # Gaussian walk (mh.rs:181)
+        # log-space walk for positive supports (mh.rs:199-224)
+        z_safe = jnp.where(is_pos, z, jnp.ones((), dt))
+        cand_pos = z_safe * jnp.exp(s_coord * eps)
+        # reflection walk inside intervals (mh.rs:230)
+        cand_ref = _reflect_into(cand, jnp.asarray(lo, dt), jnp.asarray(hi, dt))
+        cand = jnp.where(is_pos, cand_pos, jnp.where(is_int, cand_ref, cand))
+        sel = jnp.asarray(site_of) == idx
+        z_new = jnp.where(sel, cand, z)
+        # exact Hastings for the log-space walk: ln x' - ln x (FG-41 kin)
+        corr = jnp.where(
+            jnp.logical_and(sel, is_pos),
+            jnp.log(jnp.where(is_pos, cand_pos, jnp.ones((), dt))) - jnp.log(z_safe),
+            jnp.zeros((), dt),
+        )
+        hastings = hastings + jnp.sum(corr)
+        proposed.update(staged.unflatten_constrained(z_new))
+
+    for j_local, s in enumerate(d_sites):
+        j = staged.site_index[s.address]
         cur = state.latents[s.address]
         prop_fn = make_site_proposal(s.support)
-        cand, corr = prop_fn(k_props[j], cur, scales[j])
+        cand, corr = prop_fn(k_disc[j_local], cur, scales[j])
         sel = idx == j
         proposed[s.address] = jnp.where(sel, cand, cur)
-        corrections.append(jnp.where(sel, corr, 0.0))
-    hastings = jnp.sum(jnp.stack(corrections))
+        hastings = hastings + jnp.where(sel, jnp.sum(corr), 0.0)
 
     new_lj = target(proposed)
     log_alpha = new_lj - state.log_joint + hastings
