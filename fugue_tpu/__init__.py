@@ -117,6 +117,7 @@ from .inference.abc import (
     manhattan_distance,
 )
 from .inference.gibbs import GibbsResult, gibbs_chain
+from .inference.predictive import posterior_predictive, predictive
 from .inference.diagnostics import (
     ParameterSummary,
     print_diagnostics,
@@ -141,6 +142,7 @@ from .inference.validation import (
 # L3: runtime — handlers, interpreters, traces, staging
 from .runtime.handler import Handler, run
 from .runtime.interpreters import (
+    PredictiveHandler,
     PriorHandler,
     ReconcileReport,
     ReconcilingScoreGivenTrace,

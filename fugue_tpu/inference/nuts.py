@@ -66,8 +66,12 @@ class NUTSConfig:
     # stops (fewest leapfrogs; compiles fast everywhere except the axon
     # TPU remote compiler, which is pathologically slow on batched
     # while_loops); "scan" always runs 2^max_depth - 1 masked leapfrog
-    # iterations (wasted FLOPs on short trees, but compiles like HMC).
-    # None → auto: "scan" on TPU backends, "while" elsewhere.
+    # iterations (wasted FLOPs on short trees, but compiles like HMC);
+    # "chunked" wraps a 16-step masked scan in a while_loop — it exits
+    # after ceil(max_leaves/16) chunks, so short trees (the common case)
+    # cost ~16 leapfrogs instead of 255, while the while body stays a
+    # single compiled scan. None → auto: "chunked" on TPU backends,
+    # "while" elsewhere.
     loop: Optional[str] = None
 
 
@@ -99,7 +103,7 @@ def _auto_loop_mode(loop: Optional[str]) -> str:
     if loop is not None:
         return loop
     try:
-        return "scan" if jax.devices()[0].platform == "tpu" else "while"
+        return "chunked" if jax.devices()[0].platform == "tpu" else "while"
     except Exception:
         return "while"
 
@@ -291,21 +295,34 @@ def nuts_transition(
             diverging=s["diverging"] | leaf_div,
         )
 
+    def masked_scan_body(s, _):
+        active = cond(s)
+        s_new = body(s)
+        merged = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), s_new, s
+        )
+        return merged, None
+
+    max_leaves = (1 << max_depth) - 1
     if loop == "scan":
         # masked fixed-trip scan: identical semantics, always 2^max_depth-1
         # iterations — the compile-friendly form for backends that struggle
         # with batched while_loops
-        def scan_body(s, _):
-            active = cond(s)
-            s_new = body(s)
-            merged = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(active, a, b), s_new, s
-            )
-            return merged, None
+        final, _ = jax.lax.scan(masked_scan_body, init, None, length=max_leaves)
+    elif loop == "chunked":
+        # while-of-scans: each while trip advances up to 16 masked leapfrog
+        # iterations; exits once the tree stops. Execution cost is the max
+        # tree size over lock-step chains rounded up to a chunk (vs always
+        # 2^max_depth-1 for "scan"), while the compiled while body is a
+        # single small scan (vs 2^max_depth-1 single-step while trips that
+        # the axon TPU compiler handles poorly).
+        chunk = min(16, max_leaves)
 
-        final, _ = jax.lax.scan(
-            scan_body, init, None, length=(1 << max_depth) - 1
-        )
+        def chunk_body(s):
+            s, _ = jax.lax.scan(masked_scan_body, s, None, length=chunk)
+            return s
+
+        final = jax.lax.while_loop(cond, chunk_body, init)
     else:
         final = jax.lax.while_loop(cond, body, init)
 

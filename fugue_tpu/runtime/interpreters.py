@@ -169,6 +169,30 @@ class PartialValuesHandler(_RecordingHandler):
         return value
 
 
+class PredictiveHandler(PartialValuesHandler):
+    """Posterior/prior predictive execution: latent sites replay from a
+    value dict (sampling fresh where absent, like PartialValuesHandler);
+    ``observe`` sites DRAW a fresh value from the observation distribution
+    instead of scoring the dataset — the recorded choice is the predictive
+    draw.
+
+    Reference capability: predictive simulation is done there by composing
+    ReplayHandler over a posterior trace with a model whose observations are
+    rewritten as samples (docs how-to); here it is a first-class handler so
+    one model definition serves both inference and prediction.
+    """
+
+    def on_observe(self, addr, dist, value):
+        self._check_duplicate(addr)
+        batch = dist._batch_shape()
+        vshape = jnp.shape(value)
+        lead = vshape[: len(vshape) - len(batch)] if len(batch) else vshape
+        draw = dist.sample(site_key(self.key, addr), lead)
+        lp = self._record(addr, draw, dist.log_prob(draw), dist.support, True)
+        self.trace.log_likelihood = self.trace.log_likelihood + lp
+        return draw
+
+
 class ScoreGivenTrace(_RecordingHandler):
     """Score a model against a fixed trace: no sampling; every latent must
     exist in the base trace; fresh log-probs are stored (FG-48).

@@ -193,3 +193,29 @@ def test_scan_loop_mode_matches_statistics():
     mus = np.asarray(res.samples["mu"])
     assert mus.mean() == pytest.approx(2.2 / tau, abs=0.04)
     assert float(split_r_hat(mus)) < 1.01
+
+
+def test_loop_modes_bitwise_identical():
+    """All three tree-build loop modes ("while", "scan", "chunked") are the
+    same masked recurrence, so a single transition at a fixed key must agree
+    exactly — the extra iterations of scan/chunked are no-op merges."""
+    def potential(z):
+        return 0.5 * jnp.sum(z * z)
+
+    im = jnp.ones(3)
+    for seed in range(6):
+        q = jax.random.normal(jax.random.PRNGKey(100 + seed), (3,))
+        key = jax.random.PRNGKey(seed)
+        outs = {}
+        for mode in ("while", "scan", "chunked"):
+            z, info = nuts_transition(
+                potential, q, key, 0.4, im, max_depth=6, loop=mode
+            )
+            outs[mode] = (np.asarray(z), {k: np.asarray(v)
+                                          for k, v in info.items()})
+        for mode in ("scan", "chunked"):
+            np.testing.assert_array_equal(outs[mode][0], outs["while"][0])
+            for k in outs["while"][1]:
+                np.testing.assert_array_equal(
+                    outs[mode][1][k], outs["while"][1][k], err_msg=f"{mode}:{k}"
+                )
