@@ -41,6 +41,18 @@ def main():
     assert abs(s - TRUE_S) < 0.15, s
     print(f"w={w:.3f} b={b:.3f} sigma={s:.3f} -- OK")
 
+    # posterior predictive: replay every (chain, draw) through the model
+    # with the observations redrawn; predictive residuals should center on
+    # zero with scale ~ sigma (plus parameter uncertainty)
+    pred = ft.posterior_predictive(
+        jax.random.PRNGKey(1), model, res.samples
+    )
+    y_rep = np.asarray(pred["y"])  # (chains, draws, 50)
+    resid = y_rep - np.asarray(Y)
+    assert abs(resid.mean()) < 0.05, resid.mean()
+    assert 0.4 < y_rep.std(axis=(0, 1)).mean() < 0.8
+    print(f"posterior predictive: mean residual {resid.mean():+.4f} -- OK")
+
 
 if __name__ == "__main__":
     main()

@@ -133,13 +133,16 @@ def nuts_transition(
     """
     dt = q.dtype
     d = q.shape[0]
-    grad_fn = jax.grad(potential_fn)
+    # one fused forward+backward per leaf: the leaf Hamiltonian needs the
+    # potential VALUE and the next half-step needs its GRADIENT — computing
+    # them together halves the model evaluations per leapfrog vs separate
+    # potential_fn/grad_fn calls
+    vg_fn = jax.value_and_grad(potential_fn)
 
     k_mom, k_dir0, k_loop = jax.random.split(key, 3)
     r0 = mass_draw_momentum(k_mom, inv_mass, (d,), dt)
-    u0 = potential_fn(q)
+    u0, g0_ = vg_fn(q)
     h0 = u0 + mass_kinetic(inv_mass, r0)
-    g0_ = grad_fn(q)
     dir0 = jnp.where(jax.random.bernoulli(k_dir0, 0.5), 1.0, -1.0).astype(dt)
 
     neg_inf = jnp.asarray(-jnp.inf, dt)
@@ -181,9 +184,9 @@ def nuts_transition(
         # one leapfrog step of the walker
         r_half = s["r"] - 0.5 * eps_s * s["g"]
         z_new = s["z"] + eps_s * mass_velocity(inv_mass, r_half)
-        g_new = grad_fn(z_new)
+        u_new, g_new = vg_fn(z_new)
         r_new = r_half - 0.5 * eps_s * g_new
-        h_new = potential_fn(z_new) + mass_kinetic(inv_mass, r_new)
+        h_new = u_new + mass_kinetic(inv_mass, r_new)
         delta = h0 - h_new
         leaf_div = (~jnp.isfinite(delta)) | (-delta > max_delta_energy)
         log_w_leaf = jnp.where(leaf_div, neg_inf, delta)
