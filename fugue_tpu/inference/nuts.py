@@ -47,6 +47,7 @@ from .hmc import (
     mass_kinetic,
     mass_velocity,
     welford_covariance,
+    welford_merge_across,
     welford_push_batch,
     welford_variance,
 )
@@ -353,28 +354,24 @@ class NUTSResult:
     final_positions: Any
 
 
-def nuts_chain(
-    key,
-    model_fn: Optional[Callable] = None,
-    n_samples: int = 1000,
-    n_warmup: int = 1000,
-    config: NUTSConfig = NUTSConfig(),
+def make_nuts_drive(
+    staged: StagedModel,
+    config: NUTSConfig,
+    n_chains: int,
+    n_samples: int,
+    n_warmup: int,
     *,
-    n_chains: int = 1,
-    model_args: tuple = (),
-    staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
     chain_axis: Optional[str] = None,
-) -> NUTSResult:
-    """NUTS with the same cross-chain warmup schedule as ``hmc_chain``
-    (dual averaging on the trajectory-averaged acceptance statistic; Welford
-    diagonal mass with midpoint reset)."""
-    if staged is None:
-        staged = stage(model_fn, *model_args)
+):
+    """Build the pure NUTS warmup+sampling program ``(q0, k_eps, k_run) →
+    arrays`` — the same factory shape as ``hmc.make_hmc_drive`` so the one
+    program runs jitted on a chip OR inside ``shard_map`` with the chain
+    batch on mesh axis ``chain_axis`` (adaptation statistics — acceptance
+    pmean, initial-epsilon consensus, Welford mass merge — become ICI
+    collectives)."""
     dt = settings.real_dtype()
     d = staged.dim
-    if d == 0:
-        raise ValueError("model has no continuous latent sites; use MH")
 
     def potential(z):
         return staged.potential(z, discrete)
@@ -392,6 +389,9 @@ def nuts_chain(
             eps0 = jnp.asarray(config.step_size, dt)
         else:
             eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
+            if chain_axis is not None:
+                # consensus initial step size across shards
+                eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
         da0 = DualAveragingState.init(eps0)
 
         loop_mode = _auto_loop_mode(config.loop)
@@ -431,6 +431,10 @@ def nuts_chain(
             q1, da1, w1, _, ema1 = carry
             q1 = rescue_stuck(q1, ema1, jax.random.fold_in(k_run, 91))
             if config.adapt_mass:
+                # sharded: merge shard moments first so every device adopts
+                # the same mass matrix (hmc.rs:885-908 midpoint analog)
+                if chain_axis is not None:
+                    w1 = welford_merge_across(w1, chain_axis)
                 inv_mass1 = (welford_covariance(w1) if dense
                              else welford_variance(w1))
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
@@ -462,6 +466,35 @@ def nuts_chain(
         keys = jax.random.split(jax.random.fold_in(k_run, 2), n_samples)
         q_f, (qs, aps, divs, depths) = jax.lax.scan(sample_body, q_w, keys)
         return q_f, qs, aps, divs, depths, eps_final, inv_mass_f
+
+    return drive
+
+
+def nuts_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 1000,
+    config: NUTSConfig = NUTSConfig(),
+    *,
+    n_chains: int = 1,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axis: Optional[str] = None,
+) -> NUTSResult:
+    """NUTS with the same cross-chain warmup schedule as ``hmc_chain``
+    (dual averaging on the trajectory-averaged acceptance statistic; Welford
+    diagonal mass with midpoint reset)."""
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if staged.dim == 0:
+        raise ValueError("model has no continuous latent sites; use MH")
+
+    drive = make_nuts_drive(
+        staged, config, n_chains, n_samples, n_warmup,
+        discrete=discrete, chain_axis=chain_axis,
+    )
 
     from .hmc import _discrete_cache_key, constrain_positions, initial_positions
 

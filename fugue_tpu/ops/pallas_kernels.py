@@ -179,30 +179,48 @@ def _tile_prefix_sum(mat):
 
 def _presample_kernel(w_ref, u0_ref, out_ref, carry_ref):
     """One fused pass: running weight-prefix in SMEM; each tile emits the
-    comb positions falling inside its CDF span via a masked count."""
+    comb positions falling inside its CDF span via a masked count.
+
+    Precision design (the on-hardware f32 failure mode was carry drift):
+    the host pre-scales weights by N, so the running prefix P = N·cdf grows
+    to N (~2^20). A plain f32 carry then loses ~eps(N) per tile and ancestor
+    indices drift by thousands; two-sum compensation is unreliable here
+    because the kernel compiler may reassociate/contract the error-free
+    transform. Instead the carry is split as (hi = exact nonnegative
+    INTEGER part, lo = fractional part < ~2): integer adds below 2^24 are
+    exact in f32, and since hi is an exact integer,
+    floor(hi + x) == hi + floor(x), so the count computation never rounds
+    at magnitude N. Worst case is ±1 boundary jitter on counts, never
+    drift — independent of compiler FMA/reassociation choices."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        carry_ref[0] = 0.0  # prefix sum before this tile
+        carry_ref[0] = 0.0  # integer part of the running prefix (exact)
+        carry_ref[1] = 0.0  # fractional part (stays small)
 
-    w_blk = w_ref[0]  # (rows, LANE) weights (already normalized)
-    prefix = _tile_prefix_sum(w_blk)  # inclusive, row-major
-    base = carry_ref[0]
-    cdf = base + prefix  # inclusive cdf for this tile's elements
-    carry_ref[0] = base + prefix[w_blk.shape[0] - 1, w_blk.shape[1] - 1]
+    w_blk = w_ref[0]  # (rows, LANE) weights pre-scaled by N
+    prefix = _tile_prefix_sum(w_blk)  # inclusive, row-major, ≤ tile_sum ≪ 2^24
+    hi = carry_ref[0]
+    lo = carry_ref[1]
+    local = prefix + lo  # small-magnitude, f32-precise
+
+    # shed the integer part into hi (exact while hi + ti < 2^24)
+    tile_total = local[w_blk.shape[0] - 1, w_blk.shape[1] - 1]
+    ti = jnp.floor(tile_total)
+    carry_ref[0] = hi + ti
+    carry_ref[1] = tile_total - ti
 
     # The comb u_k = (k + u0)/N falls to element j iff cdf_{j-1} <= u_k < cdf_j.
-    # For each element j in the tile, count of comb points strictly below
-    # cdf_j is floor(cdf_j * N - u0) + 1 clipped; ancestors for positions
-    # in [count_{j-1}, count_j) are j. We emit per-element counts; the host
-    # converts counts→indices with a repeat (cheap, XLA). To keep the kernel
-    # output dense we store the per-element comb-count directly.
+    # Count of comb points strictly below cdf_j is floor(N·cdf_j − u0) + 1;
+    # with hi an exact integer this is hi + floor(local − u0) + 1, every
+    # term exact or small-magnitude. Counts up to N < 2^24 are exact in f32.
+    # The host converts counts→indices with one searchsorted.
     n_total = u0_ref[1]
     u0 = u0_ref[0]
-    counts = jnp.floor(cdf * n_total - u0) + 1.0
+    counts = hi + (jnp.floor(local - u0) + 1.0)
     counts = jnp.clip(counts, 0.0, n_total)
     out_ref[0] = counts
 
@@ -211,24 +229,31 @@ def psystematic_resample(key, log_weights):
     """Systematic resampling: Pallas fused pass producing cumulative comb
     counts, finished with one XLA searchsorted over the counts.
 
-    EXPERIMENTAL on hardware: at float32 with 10^6 particles the one-pass
-    prefix accumulates rounding differently from the two-pass XLA cumsum, so
-    ancestor indices near CDF boundaries can shift; validation against an
-    f64 reference is still pending on real chips (the kernel is exact in
-    interpret mode / f64). Opt in with FUGUE_TPU_PALLAS_RESAMPLE=1; the
-    default is always the XLA path."""
+    The weight vector is read from HBM exactly once and no (N,) CDF array is
+    materialized. The inter-tile running prefix is carried in double-single
+    (two-float) form, so at f32 with 10^6+ particles ancestor indices match
+    the f64 reference up to ±1 boundary jitter (a tiny perturbation of u0,
+    statistically equivalent) instead of drifting. Opt out with
+    FUGUE_TPU_PALLAS_RESAMPLE=0."""
     from ..ops.resampling import normalize_log_weights
 
     n = log_weights.shape[-1]
     w, _ = normalize_log_weights(log_weights)
     u0 = jax.random.uniform(key, (), w.dtype)
-    opted_in = os.environ.get("FUGUE_TPU_PALLAS_RESAMPLE") == "1"
-    if not pallas_active() or not opted_in or n < _BLOCK or n % _LANE:
+    opted_out = os.environ.get("FUGUE_TPU_PALLAS_RESAMPLE") == "0"
+    if not pallas_active() or opted_out or n < _BLOCK or n % _LANE:
         return systematic_resample_xla(u0, w)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    wp, _ = _pad_to(w, _BLOCK, 0.0)
+    # Pre-scale by N/sum(w) so the kernel's prefix IS the comb count scale
+    # (counts < 2^24, exact in f32). The explicit renormalization matters:
+    # normalize_log_weights leaves sum(w) = 1 ± ~3e-5 at f32 (logsumexp
+    # rounding), and without it the count drift N·3e-5 ≈ 36 maps to
+    # hundreds of ancestor-index positions in sparse-weight regions — the
+    # XLA path absorbs the same error via cdf/cdf[-1].
+    scale = jnp.asarray(float(n), w.dtype) / jnp.sum(w)
+    wp, _ = _pad_to(w * scale, _BLOCK, 0.0)
     rows = _BLOCK // _LANE
     w2 = wp.reshape(-1, rows, _LANE)
     grid = (w2.shape[0],)
@@ -245,10 +270,13 @@ def psystematic_resample(key, log_weights):
         out_specs=pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(w2.shape, w.dtype),
-        scratch_shapes=[pltpu.SMEM((1,), w.dtype)],
+        scratch_shapes=[pltpu.SMEM((2,), w.dtype)],
     )(w2, params)
 
     cum = counts.reshape(-1)[:n].astype(jnp.int32)  # cumulative comb counts
+    # rounding can make counts locally non-monotone by 1; searchsorted
+    # requires sorted input, so repair with a running max (cheap, fused)
+    cum = jax.lax.cummax(cum)
     # ancestor index for output position k = #elements whose cumulative
     # count <= k  == searchsorted(cum, k, 'right')
     ks = jnp.arange(n, dtype=jnp.int32)

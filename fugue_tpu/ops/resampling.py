@@ -39,9 +39,20 @@ def _indices_from_uniforms(weights, us):
 
 
 def systematic_resample(key, log_weights, n: int = None):
-    """Systematic resampling: one uniform, stratified comb (smc.rs:317)."""
+    """Systematic resampling: one uniform, stratified comb (smc.rs:317).
+
+    At 10^4+ particles on TPU this routes through the fused Pallas pass
+    (ops/pallas_kernels.psystematic_resample): one HBM read of the weight
+    vector, no materialized CDF."""
     N = log_weights.shape[-1]
     n = n or N
+    if log_weights.ndim == 1 and n == N:
+        from .pallas_kernels import _BLOCK, _LANE, pallas_active
+
+        if pallas_active() and N >= _BLOCK and N % _LANE == 0:
+            from .pallas_kernels import psystematic_resample
+
+            return psystematic_resample(key, log_weights)
     w, _ = normalize_log_weights(log_weights)
     u0 = jax.random.uniform(key, ())
     us = (jnp.arange(n) + u0) / n

@@ -105,10 +105,10 @@ def sharded_hmc_chain(
                 P(CHAIN_AXIS, None),          # q_f (chains, d)
                 P(None, CHAIN_AXIS, None),    # qs (n_samples, chains, d)
                 P(None, CHAIN_AXIS),          # ljs
-                P(),                          # accept means (identical across shards)
+                P(None, CHAIN_AXIS),          # per-chain accept probs
                 P(None, CHAIN_AXIS),          # divergences
-                P(),                          # eps_final
-                P(None,),                     # inv_mass
+                P(),                          # eps_final (consensus, replicated)
+                P(None,) if config.mass != "dense" else P(None, None),  # inv_mass
             ),
         )
         return jax.jit(mapped)
@@ -129,6 +129,90 @@ def sharded_hmc_chain(
         log_joint=jnp.moveaxis(ljs, 0, 1),
         accept_prob=jnp.mean(aps, axis=-1),
         divergences=jnp.moveaxis(divs, 0, 1),
+        step_size=float(np.asarray(eps_final)),
+        inv_mass=inv_mass_f,
+        final_positions=q_f,
+    )
+
+
+def sharded_nuts_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 1000,
+    config=None,
+    *,
+    n_chains: int = 8,
+    mesh: Optional[Mesh] = None,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+):
+    """NUTS with the chain batch sharded across ``mesh``'s chain axis.
+
+    Same SPMD structure as ``sharded_hmc_chain``: per-shard tree building,
+    cross-shard collectives for the warmup adaptation (dual-averaging
+    acceptance pmean, initial-epsilon consensus, Welford mass merge), so
+    every device runs the identical adapted kernel."""
+    from ..inference.nuts import NUTSConfig, NUTSResult, make_nuts_drive
+
+    if config is None:
+        config = NUTSConfig()
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if mesh is None:
+        mesh = make_chain_mesh()
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
+    per_shard = n_chains // n_dev
+
+    from ..inference.hmc import constrain_positions, initial_positions
+
+    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
+    q0 = initial_positions(staged, k_init, n_chains, config.init)
+    q0 = jax.device_put(q0, chain_sharding(mesh, q0.ndim))
+
+    drive = make_nuts_drive(
+        staged, config, per_shard, n_samples, n_warmup,
+        discrete=discrete, chain_axis=CHAIN_AXIS,
+    )
+
+    def shard_fn(q0_local, k_eps, k_run):
+        idx = jax.lax.axis_index(CHAIN_AXIS)
+        k_run_local = jax.random.fold_in(k_run, idx)
+        return drive(q0_local, k_eps, k_run_local)
+
+    def build_mapped():
+        mapped = _shard_map(
+            shard_fn,
+            mesh,
+            in_specs=(P(CHAIN_AXIS, None), P(), P()),
+            out_specs=(
+                P(CHAIN_AXIS, None),          # q_f (chains, d)
+                P(None, CHAIN_AXIS, None),    # qs (n_samples, chains, d)
+                P(None, CHAIN_AXIS),          # per-chain accept probs
+                P(None, CHAIN_AXIS),          # divergences
+                P(None, CHAIN_AXIS),          # tree depths
+                P(),                          # eps_final (consensus, replicated)
+                P(None,) if config.mass != "dense" else P(None, None),
+            ),
+        )
+        return jax.jit(mapped)
+
+    jit_mapped = staged.cached_kernel(
+        ("sharded_nuts", config, n_chains, n_samples, n_warmup, id(mesh)),
+        build_mapped,
+    )
+    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = jit_mapped(q0, k_eps, k_run)
+
+    positions = jnp.moveaxis(qs, 0, 1)
+    return NUTSResult(
+        samples=constrain_positions(staged, positions),
+        positions=positions,
+        accept_prob=jnp.mean(aps, axis=-1),
+        divergences=jnp.moveaxis(divs, 0, 1),
+        tree_depths=jnp.moveaxis(depths, 0, 1),
         step_size=float(np.asarray(eps_final)),
         inv_mass=inv_mass_f,
         final_positions=q_f,

@@ -134,3 +134,25 @@ def test_sharded_mh(mesh):
     assert ps.shape == (64, 400)
     assert ps.mean() == pytest.approx(14 / 24, abs=0.015)
     assert len(res.final_state.log_joint.sharding.device_set) == 8
+
+
+def test_sharded_nuts_posterior(mesh):
+    """NUTS chains sharded over the mesh: collective warmup adaptation
+    (acceptance pmean, epsilon consensus, Welford mass merge) produces one
+    kernel and the conjugate posterior."""
+    from fugue_tpu.parallel.sharded import sharded_nuts_chain
+    from fugue_tpu.inference.nuts import NUTSConfig
+
+    res = sharded_nuts_chain(
+        jax.random.PRNGKey(4), coin_model, n_samples=400, n_warmup=300,
+        n_chains=32, mesh=mesh, config=NUTSConfig(max_depth=6),
+    )
+    ps = np.asarray(res.samples["p"])
+    assert ps.shape == (32, 400)
+    assert ps.mean() == pytest.approx(14 / 24, abs=0.012)
+    assert float(split_r_hat(ps[:8])) < 1.05
+    # eps is a cross-shard consensus scalar; depths are sane
+    assert res.step_size > 0
+    assert 1 <= float(np.asarray(res.tree_depths).mean()) <= 6
+    # chain axis spread over all 8 devices
+    assert len(res.final_positions.sharding.device_set) == 8
