@@ -98,6 +98,11 @@ def categorical_support(k: int) -> Support:
     return Support("categorical", low=0, high=k - 1, size=k)
 
 
+def simplex_support(k: int) -> Support:
+    """Interior of the (k-1)-simplex: x_i > 0, Σx_i = 1 (k components)."""
+    return Support("simplex", low=0.0, high=1.0, size=k)
+
+
 # ---------------------------------------------------------------------------
 # Base class
 # ---------------------------------------------------------------------------
@@ -732,6 +737,176 @@ class DiscreteUniform(Distribution):
         inside = (v >= low) & (v <= high)
         count = high - low + 1.0
         return jnp.where(inside, -jnp.log(count), -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# Multivariate distributions (TPU-native extension)
+# ---------------------------------------------------------------------------
+#
+# The reference library is strictly univariate (distribution.rs:39-94 — every
+# trait impl returns a scalar). On TPU, vector-valued sites are the natural
+# unit of work (one site = one MXU-friendly array op), so the framework adds
+# first-class multivariate families on top of the 17-distribution parity set:
+# sites with event shapes stage into the same flat layouts, HMC/NUTS run on
+# the stick-breaking-unconstrained space, and VI gets a Dirichlet family.
+
+
+class Dirichlet(Distribution):
+    """Dirichlet(concentration) → point on the (k-1)-simplex, event shape
+    ``(k,)`` over the last axis of ``concentration``.
+
+    TPU-native extension (no reference counterpart; the reference is
+    univariate-only). Sampling uses the Gamma-normalization construction so
+    dtype policy and key-splitting match the rest of the library; HMC/NUTS
+    handle simplex sites through the ``StickBreaking`` transform
+    (core/transforms.py)."""
+
+    def __init__(self, concentration):
+        check_positive("concentration", concentration, ErrorCode.INVALID_SHAPE)
+        shape = jnp.shape(concentration)
+        if len(shape) < 1 or shape[-1] < 2:
+            from ..errors import ValidationError
+
+            raise ValidationError(
+                ErrorCode.INVALID_SHAPE,
+                "concentration must have a trailing event axis of size >= 2",
+                {"shape": shape},
+            )
+        self.concentration = concentration
+        self.support = simplex_support(int(shape[-1]))
+
+    def _params(self):
+        return (self.concentration,)
+
+    def _batch_shape(self):
+        return jnp.shape(self.concentration)[:-1]
+
+    @property
+    def event_size(self) -> int:
+        return self.support.size
+
+    def sample(self, key, sample_shape=()):
+        dt = settings.real_dtype()
+        conc = jnp.asarray(self.concentration, dt)
+        full = tuple(sample_shape) + self._batch_shape() + (self.event_size,)
+        g = jax.random.gamma(key, jnp.broadcast_to(conc, full), dtype=dt)
+        return g / jnp.sum(g, axis=-1, keepdims=True)
+
+    def log_prob(self, value):
+        a = _real(self.concentration)
+        x = _real(value)
+        inside = jnp.all(x > 0.0, axis=-1) & (
+            jnp.abs(jnp.sum(x, axis=-1) - 1.0) < 1e-4
+        )
+        xs = jnp.where(x > 0.0, x, 1.0)  # keep log finite off-support
+        lp = (
+            jnp.sum((a - 1.0) * jnp.log(xs), axis=-1)
+            + gammaln(jnp.sum(a, axis=-1))
+            - jnp.sum(gammaln(a), axis=-1)
+        )
+        return jnp.where(inside, lp, -jnp.inf)
+
+
+class MultivariateNormal(Distribution):
+    """MultivariateNormal(loc, covariance= | scale_tril=) → R^d vector,
+    event shape ``(d,)``.
+
+    TPU-native extension (no reference counterpart). Sampling is one batched
+    ``eps @ L^T`` matmul (MXU path); ``log_prob`` is a triangular solve —
+    both batch over leading axes, so a 1024-chain HMC run scores all chains
+    in one kernel."""
+
+    def __init__(self, loc, covariance=None, scale_tril=None):
+        from ..errors import ValidationError, _is_concrete
+        import numpy as np
+
+        if (covariance is None) == (scale_tril is None):
+            raise ValidationError(
+                ErrorCode.INVALID_VARIANCE,
+                "exactly one of covariance/scale_tril must be given",
+            )
+        check_finite("loc", loc, ErrorCode.INVALID_MEAN)
+        d = jnp.shape(loc)[-1] if jnp.ndim(loc) >= 1 else None
+        if covariance is not None:
+            if _is_concrete(covariance):
+                arr = np.asarray(covariance)
+                if arr.ndim < 2 or arr.shape[-1] != arr.shape[-2]:
+                    raise ValidationError(
+                        ErrorCode.INVALID_VARIANCE,
+                        "covariance must be square",
+                        {"shape": arr.shape},
+                    )
+                if not np.allclose(arr, np.swapaxes(arr, -1, -2), atol=1e-6):
+                    raise ValidationError(
+                        ErrorCode.INVALID_VARIANCE, "covariance must be symmetric"
+                    )
+                try:
+                    np.linalg.cholesky(arr)
+                except np.linalg.LinAlgError:
+                    raise ValidationError(
+                        ErrorCode.INVALID_VARIANCE,
+                        "covariance must be positive definite",
+                    )
+            self._scale_tril = jnp.linalg.cholesky(
+                jnp.asarray(covariance, settings.real_dtype())
+            )
+        else:
+            if _is_concrete(scale_tril):
+                arr = np.asarray(scale_tril)
+                if arr.ndim < 2 or arr.shape[-1] != arr.shape[-2]:
+                    raise ValidationError(
+                        ErrorCode.INVALID_VARIANCE,
+                        "scale_tril must be square",
+                        {"shape": arr.shape},
+                    )
+                if np.any(np.diagonal(arr, axis1=-2, axis2=-1) <= 0):
+                    raise ValidationError(
+                        ErrorCode.INVALID_VARIANCE,
+                        "scale_tril must have positive diagonal",
+                    )
+            self._scale_tril = jnp.asarray(scale_tril, settings.real_dtype())
+        if d is None:
+            d = self._scale_tril.shape[-1]
+        self.loc = loc
+        self.event_size = int(d)
+        self.support = REAL
+
+    @property
+    def scale_tril(self):
+        return self._scale_tril
+
+    def _params(self):
+        return (self.loc,)
+
+    def _batch_shape(self):
+        lb = jnp.shape(self.loc)[:-1] if jnp.ndim(self.loc) >= 1 else ()
+        sb = jnp.shape(self._scale_tril)[:-2]
+        return jnp.broadcast_shapes(lb, sb)
+
+    def sample(self, key, sample_shape=()):
+        dt = settings.real_dtype()
+        d = self.event_size
+        full = tuple(sample_shape) + self._batch_shape() + (d,)
+        eps = jax.random.normal(key, full, dt)
+        L = jnp.asarray(self._scale_tril, dt)
+        return jnp.asarray(self.loc, dt) + jnp.einsum("...ij,...j->...i", L, eps)
+
+    def log_prob(self, value):
+        from jax.scipy.linalg import solve_triangular
+
+        dt = settings.real_dtype()
+        x = jnp.asarray(value, dt)
+        L = jnp.asarray(self._scale_tril, dt)
+        diff = x - jnp.asarray(self.loc, dt)
+        y = solve_triangular(L, diff[..., None], lower=True)[..., 0]
+        half_logdet = jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+        )
+        d = self.event_size
+        return -0.5 * jnp.sum(y * y, axis=-1) - half_logdet - 0.5 * d * _LOG_2PI
+
+
+MULTIVARIATE_DISTRIBUTIONS = [Dirichlet, MultivariateNormal]
 
 
 ALL_DISTRIBUTIONS = [

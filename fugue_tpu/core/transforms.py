@@ -32,6 +32,15 @@ class Transform:
     def log_det_jacobian(self, z):
         return jnp.zeros_like(z)
 
+    def unconstrained_shape(self, shape):
+        """Shape of the unconstrained z for a constrained site of ``shape``.
+
+        Elementwise transforms preserve shape; dimension-changing transforms
+        (StickBreaking: k → k-1) override. Staging uses this to lay out the
+        flat unconstrained position vector independently of the constrained
+        layout."""
+        return tuple(shape)
+
 
 class Identity(Transform):
     pass
@@ -89,6 +98,71 @@ class AffineSigmoid(Transform):
             - jax.nn.softplus(z)
             - jax.nn.softplus(-z)
         )
+
+
+class StickBreaking(Transform):
+    """R^{k-1} → interior of the (k-1)-simplex (k components), along the
+    last axis. The dimension-changing bijector for ``Dirichlet`` sites.
+
+    Stan's stick-breaking parameterization: break fractions
+    u_j = σ(z_j − log(k−1−j)) (the offset centers z=0 on the uniform
+    simplex), x_j = u_j · rem_j with rem_j = Π_{i<j}(1−u_i), and the last
+    component takes the remaining stick. log|J| = Σ_j log u_j + log(1−u_j)
+    + log rem_j. All ops are vectorized cumprod/cumsum along the event axis
+    — no sequential loop, jit/vmap/grad-safe."""
+
+    name = "stick_breaking"
+
+    def __init__(self, k: int):
+        self.k = int(k)
+
+    def unconstrained_shape(self, shape):
+        if not shape or shape[-1] != self.k:
+            raise ValueError(
+                f"stick-breaking expects trailing event axis {self.k}, got {shape}"
+            )
+        return tuple(shape[:-1]) + (self.k - 1,)
+
+    def _offsets(self, dtype):
+        km1 = self.k - 1
+        return jnp.log(jnp.arange(km1, 0, -1, dtype=dtype))
+
+    def forward(self, z):
+        u = jax.nn.sigmoid(z - self._offsets(z.dtype))
+        one_minus = 1.0 - u
+        rem = jnp.concatenate(
+            [
+                jnp.ones(z.shape[:-1] + (1,), z.dtype),
+                jnp.cumprod(one_minus, axis=-1),
+            ],
+            axis=-1,
+        )  # rem_j = stick remaining before break j; rem[..., -1] = last comp.
+        head = u * rem[..., :-1]
+        return jnp.concatenate([head, rem[..., -1:]], axis=-1)
+
+    def inverse(self, x):
+        km1 = self.k - 1
+        head = x[..., :km1]
+        csum = jnp.cumsum(head, axis=-1)
+        rem = jnp.concatenate(
+            [jnp.ones(x.shape[:-1] + (1,), x.dtype), 1.0 - csum[..., :-1]],
+            axis=-1,
+        )
+        u = head / rem
+        return jnp.log(u) - jnp.log1p(-u) + self._offsets(x.dtype)
+
+    def log_det_jacobian(self, z):
+        u = jax.nn.sigmoid(z - self._offsets(z.dtype))
+        log_u = jax.nn.log_sigmoid(z - self._offsets(z.dtype))
+        log_1mu = jax.nn.log_sigmoid(-(z - self._offsets(z.dtype)))
+        log_rem = jnp.concatenate(
+            [
+                jnp.zeros(z.shape[:-1] + (1,), z.dtype),
+                jnp.cumsum(log_1mu[..., :-1], axis=-1),
+            ],
+            axis=-1,
+        )
+        return jnp.sum(log_u + log_1mu + log_rem, axis=-1)
 
 
 def transform_for_support(support: Support) -> Transform:
