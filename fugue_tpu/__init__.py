@@ -118,6 +118,13 @@ from .inference.abc import (
 )
 from .inference.gibbs import GibbsResult, gibbs_chain
 from .inference.predictive import posterior_predictive, predictive
+from .inference.map_laplace import (
+    LaplaceResult,
+    MAPConfig,
+    MAPResult,
+    laplace_approximation,
+    map_estimate,
+)
 from .inference.diagnostics import (
     ParameterSummary,
     print_diagnostics,
