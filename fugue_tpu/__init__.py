@@ -118,6 +118,13 @@ from .inference.abc import (
 )
 from .inference.gibbs import GibbsResult, gibbs_chain
 from .inference.predictive import posterior_predictive, predictive
+from .inference.model_comparison import (
+    ELPDResult,
+    compare,
+    pointwise_log_likelihood,
+    psis_loo,
+    waic,
+)
 from .inference.map_laplace import (
     LaplaceResult,
     MAPConfig,

@@ -382,6 +382,22 @@ def initial_positions(staged: StagedModel, key, n_chains: int, init: str):
     return jax.vmap(staged.initial_position)(chain_keys(key, n_chains)).astype(dt)
 
 
+def _warm_start_batch(staged, key, n_chains, init_position, init_jitter):
+    """(d,) point → jittered (n_chains, d) batch; (n_chains, d) → as-is."""
+    dt = settings.real_dtype()
+    q = jnp.asarray(init_position, dt)
+    if q.ndim == 1:
+        if q.shape[0] != staged.dim:
+            raise ValueError(f"init_position dim {q.shape[0]} != {staged.dim}")
+        noise = jax.random.normal(key, (n_chains, staged.dim), dt)
+        return q[None, :] + init_jitter * noise
+    if q.shape != (n_chains, staged.dim):
+        raise ValueError(
+            f"init_position {q.shape} != (n_chains={n_chains}, d={staged.dim})"
+        )
+    return q
+
+
 def constrain_positions(staged: StagedModel, positions):
     """(chains, samples, d) unconstrained → per-site constrained arrays,
     via a cached jitted kernel."""
@@ -554,6 +570,8 @@ def hmc_chain(
     discrete: Optional[Dict[str, Any]] = None,
     chain_axis: Optional[str] = None,
     resume: Optional["HMCResult"] = None,
+    init_position: Optional[Any] = None,
+    init_jitter: float = 0.05,
 ) -> HMCResult:
     """Run HMC with cross-chain warmup adaptation.
 
@@ -561,6 +579,12 @@ def hmc_chain(
     ``final_positions``, ``step_size``, ``inv_mass``) — sampling continues
     from its final state with the warmed kernel (warmup skipped). Combine
     with runtime.checkpoint for long-run persistence.
+
+    ``init_position``: warm-start unconstrained position(s) — a ``(d,)``
+    point (e.g. ``MAPResult.z``) broadcast to all chains with per-chain
+    Gaussian jitter of scale ``init_jitter``, or an explicit
+    ``(n_chains, d)`` batch used as-is. Warmup still runs (unlike
+    ``resume``).
 
     ``chain_axis``: when set, the chain batch axis is a named mesh axis
     (inside ``shard_map``) and adaptation statistics reduce with
@@ -606,6 +630,13 @@ def hmc_chain(
             def full(k):
                 _, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
                 return inner(q_resume, k_eps, k_run)
+        elif init_position is not None:
+            def full(k):
+                k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
+                q0 = _warm_start_batch(
+                    staged, k_init, n_chains, init_position, init_jitter
+                )
+                return inner(q0, k_eps, k_run)
         else:
             def full(k):
                 k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
@@ -617,7 +648,8 @@ def hmc_chain(
     drive = staged.cached_kernel(
         ("hmc_drive", config, n_chains, n_samples, n_warmup, chain_axis,
          _discrete_cache_key(discrete),
-         None if resume is None else id(resume)),
+         None if resume is None else id(resume),
+         None if init_position is None else (id(init_position), init_jitter)),
         build_drive,
     )
     q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = drive(key)

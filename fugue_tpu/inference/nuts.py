@@ -482,10 +482,16 @@ def nuts_chain(
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
     chain_axis: Optional[str] = None,
+    init_position: Optional[Any] = None,
+    init_jitter: float = 0.05,
 ) -> NUTSResult:
     """NUTS with the same cross-chain warmup schedule as ``hmc_chain``
     (dual averaging on the trajectory-averaged acceptance statistic; Welford
-    diagonal mass with midpoint reset)."""
+    diagonal mass with midpoint reset).
+
+    ``init_position``: warm-start unconstrained position(s) — a ``(d,)``
+    point (e.g. ``MAPResult.z``) broadcast with per-chain jitter, or an
+    explicit ``(n_chains, d)`` batch (see ``hmc_chain``)."""
     if staged is None:
         staged = stage(model_fn, *model_args)
     if staged.dim == 0:
@@ -496,19 +502,30 @@ def nuts_chain(
         discrete=discrete, chain_axis=chain_axis,
     )
 
-    from .hmc import _discrete_cache_key, constrain_positions, initial_positions
+    from .hmc import (
+        _discrete_cache_key,
+        _warm_start_batch,
+        constrain_positions,
+        initial_positions,
+    )
 
     def build_full():
         def full(k):
             k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 11), 3)
-            q0 = initial_positions(staged, k_init, n_chains, config.init)
+            if init_position is not None:
+                q0 = _warm_start_batch(
+                    staged, k_init, n_chains, init_position, init_jitter
+                )
+            else:
+                q0 = initial_positions(staged, k_init, n_chains, config.init)
             return drive(q0, k_eps, k_run)
 
         return jax.jit(full)
 
     full_drive = staged.cached_kernel(
         ("nuts_drive", config, n_chains, n_samples, n_warmup, chain_axis,
-         _discrete_cache_key(discrete)),
+         _discrete_cache_key(discrete),
+         None if init_position is None else (id(init_position), init_jitter)),
         build_full,
     )
     q_f, qs, aps, divs, depths, eps_final, inv_mass_f = full_drive(key)

@@ -230,18 +230,25 @@ def psystematic_resample(key, log_weights):
     counts, finished with one XLA searchsorted over the counts.
 
     The weight vector is read from HBM exactly once and no (N,) CDF array is
-    materialized. The inter-tile running prefix is carried in double-single
-    (two-float) form, so at f32 with 10^6+ particles ancestor indices match
-    the f64 reference up to ±1 boundary jitter (a tiny perturbation of u0,
-    statistically equivalent) instead of drifting. Opt out with
-    FUGUE_TPU_PALLAS_RESAMPLE=0."""
+    materialized. The inter-tile running prefix is carried in split
+    integer/fraction form, which bounds the f32 error to small boundary
+    jitter instead of unbounded drift.
+
+    OPT-IN (FUGUE_TPU_PALLAS_RESAMPLE=1): measured on a v5e chip
+    (2026-08-19, scripts/probe_pallas_resample.py, 2^20 particles, f32) the
+    fused kernel deviates from the f64 reference by up to 127 ancestor
+    indices where the plain XLA-f32 path's noise floor is 43, and is ~1.3×
+    slower (212 µs vs 159 µs per resample amortized) — XLA's native cumsum
+    beats the roll-based Hillis-Steele prefix sum on this hardware. The
+    default is therefore the XLA path; the kernel stays available for
+    future TPU generations and as the no-materialized-CDF variant."""
     from ..ops.resampling import normalize_log_weights
 
     n = log_weights.shape[-1]
     w, _ = normalize_log_weights(log_weights)
     u0 = jax.random.uniform(key, (), w.dtype)
-    opted_out = os.environ.get("FUGUE_TPU_PALLAS_RESAMPLE") == "0"
-    if not pallas_active() or opted_out or n < _BLOCK or n % _LANE:
+    opted_in = os.environ.get("FUGUE_TPU_PALLAS_RESAMPLE") == "1"
+    if not pallas_active() or not opted_in or n < _BLOCK or n % _LANE:
         return systematic_resample_xla(u0, w)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

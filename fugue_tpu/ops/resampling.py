@@ -41,15 +41,23 @@ def _indices_from_uniforms(weights, us):
 def systematic_resample(key, log_weights, n: int = None):
     """Systematic resampling: one uniform, stratified comb (smc.rs:317).
 
-    At 10^4+ particles on TPU this routes through the fused Pallas pass
-    (ops/pallas_kernels.psystematic_resample): one HBM read of the weight
-    vector, no materialized CDF."""
+    With FUGUE_TPU_PALLAS_RESAMPLE=1 and 10^4+ particles this routes
+    through the fused Pallas pass (ops/pallas_kernels.psystematic_resample:
+    one HBM read, no materialized CDF) — opt-in because the XLA cumsum path
+    measured both faster and closer to f64 on v5e (see that docstring)."""
     N = log_weights.shape[-1]
     n = n or N
     if log_weights.ndim == 1 and n == N:
+        import os
+
         from .pallas_kernels import _BLOCK, _LANE, pallas_active
 
-        if pallas_active() and N >= _BLOCK and N % _LANE == 0:
+        if (
+            os.environ.get("FUGUE_TPU_PALLAS_RESAMPLE") == "1"
+            and pallas_active()
+            and N >= _BLOCK
+            and N % _LANE == 0
+        ):
             from .pallas_kernels import psystematic_resample
 
             return psystematic_resample(key, log_weights)

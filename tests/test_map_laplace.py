@@ -160,3 +160,29 @@ def test_map_result_trace_roundtrip():
     tr = r.trace()
     assert abs(tr.total_log_weight() - r.log_joint) < 1e-8  # identity transform
     assert isinstance(laplace_approximation(r), LaplaceResult)
+
+
+def test_warm_start_from_map():
+    # init_position=(d,) broadcasts with jitter; sampling proceeds and the
+    # posterior mean still matches the conjugate value (N(0.75, 0.5)).
+    import fugue_tpu as ft
+
+    r = map_estimate(
+        jax.random.PRNGKey(9), _normal_normal,
+        MAPConfig(n_iterations=100, optimizer="lbfgs"),
+    )
+    res = ft.hmc_chain(
+        jax.random.PRNGKey(10), _normal_normal, n_samples=400, n_warmup=300,
+        n_chains=8, init_position=r.z,
+    )
+    mu = np.asarray(res.samples["mu"])
+    assert abs(mu.mean() - 0.75) < 0.06  # ~3 MC SE at ESS>=1000
+    nres = ft.nuts_chain(
+        jax.random.PRNGKey(11), _normal_normal, n_samples=200, n_warmup=200,
+        n_chains=4, init_position=r.z,
+    )
+    assert abs(np.asarray(nres.samples["mu"]).mean() - 0.75) < 0.08
+    # shape validation
+    with pytest.raises(ValueError):
+        ft.hmc_chain(jax.random.PRNGKey(12), _normal_normal, n_samples=2,
+                     n_warmup=2, n_chains=2, init_position=jnp.zeros((3,)))

@@ -61,11 +61,14 @@ def test_systematic_resample_matches_xla(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
-def test_systematic_resample_f32_large_vs_f64_reference():
+def test_systematic_resample_f32_large_vs_f64_reference(monkeypatch):
     """Regression for the on-hardware f32 failure: with a plain-f32 carry the
-    ancestor indices drifted by thousands at 10^6 particles; the double-single
-    carry bounds the error to boundary jitter. Checked here at 2^17 particles
-    in f32 against an exact float64 reference."""
+    ancestor indices drifted by thousands at 10^6 particles; the split
+    integer/fraction carry bounds the error to boundary jitter. Checked here
+    at 2^17 particles in f32 against an exact float64 reference. (The kernel
+    is opt-in — on v5e the XLA path measured faster and more accurate — but
+    its correctness contract is still enforced here in interpret mode.)"""
+    monkeypatch.setenv("FUGUE_TPU_PALLAS_RESAMPLE", "1")
     rng = np.random.default_rng(7)
     n = 16 * pk._BLOCK  # 131072
     logits = rng.normal(size=n) * 4.0
