@@ -446,11 +446,17 @@ def make_hmc_drive(
     else:
         inv_mass0 = jnp.eye(d, dtype=dt) if dense else jnp.ones((d,), dt)
 
-    def drive(q0, k_eps, k_run):
-        if config.step_size is not None:
+    def drive(q0, k_eps, k_run, eps_over=None, inv_mass_over=None):
+        # ``eps_over``/``inv_mass_over``: runtime (traced) overrides so resume
+        # paths don't bake arrays into the jitted closure (one executable
+        # serves every resumed step size / mass matrix).
+        im0 = inv_mass0 if inv_mass_over is None else jnp.asarray(inv_mass_over, dt)
+        if eps_over is not None:
+            eps0 = jnp.asarray(eps_over, dt)
+        elif config.step_size is not None:
             eps0 = jnp.asarray(config.step_size, dt)
         else:
-            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
+            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, im0)
             if chain_axis is not None:
                 # consensus initial step size across shards
                 eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
@@ -495,7 +501,7 @@ def make_hmc_drive(
 
         n_half = n_warmup // 2
 
-        carry = (q0, da0, WelfordState.init(d, dense), inv_mass0,
+        carry = (q0, da0, WelfordState.init(d, dense), im0,
                  jnp.full((n_chains,), 0.5, dt))
         if n_warmup > 0:
             warm_keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
@@ -514,7 +520,7 @@ def make_hmc_drive(
                 )
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
             else:
-                inv_mass1 = inv_mass0
+                inv_mass1 = im0
             carry = (q1, da1, WelfordState.init(d, dense), inv_mass1,
                      jnp.full((n_chains,), 0.5, dt))
             warm_keys2 = jax.random.split(
@@ -600,59 +606,73 @@ def hmc_chain(
     if staged.dim == 0:
         raise ValueError("model has no continuous latent sites; use MH")
 
+    if resume is not None and init_position is not None:
+        raise ValueError(
+            "pass either resume= or init_position=, not both — resume "
+            "continues from its own final positions and would silently "
+            "ignore the warm start"
+        )
+
     if resume is not None:
+        # adaptation off; eps/mass/positions flow in as runtime arguments so
+        # repeated resumes share ONE compiled executable (no baked arrays)
         config = replace(
-            config,
-            step_size=float(np.asarray(resume.step_size)),
-            adapt_step_size=False,
-            adapt_mass=False,
+            config, step_size=None, adapt_step_size=False, adapt_mass=False
         )
         n_warmup = 0
-        inv_mass_init = jnp.asarray(resume.inv_mass)
         q_resume = jnp.asarray(resume.final_positions, dt)
         if q_resume.shape != (n_chains, staged.dim):
             raise ValueError(
                 f"resume positions {q_resume.shape} do not match "
                 f"(n_chains={n_chains}, d={staged.dim})"
             )
+        mode = "resume"
+    elif init_position is not None:
+        init_q = jnp.asarray(init_position, dt)
+        mode = ("warm", init_q.ndim, float(init_jitter))
     else:
-        inv_mass_init = None
-        q_resume = None
+        mode = "fresh"
 
     def build_drive():
         inner = make_hmc_drive(
             staged, config, n_chains, n_samples, n_warmup,
             discrete=discrete, chain_axis=chain_axis,
-            inv_mass_init=inv_mass_init,
         )
 
-        if resume is not None:
-            def full(k):
+        if mode == "resume":
+            def full(k, q0, eps0, im0):
                 _, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
-                return inner(q_resume, k_eps, k_run)
-        elif init_position is not None:
-            def full(k):
-                k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
-                q0 = _warm_start_batch(
-                    staged, k_init, n_chains, init_position, init_jitter
-                )
-                return inner(q0, k_eps, k_run)
-        else:
+                return inner(q0, k_eps, k_run, eps_over=eps0, inv_mass_over=im0)
+        elif mode == "fresh":
             def full(k):
                 k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
                 q0 = initial_positions(staged, k_init, n_chains, config.init)
+                return inner(q0, k_eps, k_run)
+        else:
+            def full(k, q_init):
+                k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
+                q0 = _warm_start_batch(
+                    staged, k_init, n_chains, q_init, init_jitter
+                )
                 return inner(q0, k_eps, k_run)
 
         return jax.jit(full)
 
     drive = staged.cached_kernel(
         ("hmc_drive", config, n_chains, n_samples, n_warmup, chain_axis,
-         _discrete_cache_key(discrete),
-         None if resume is None else id(resume),
-         None if init_position is None else (id(init_position), init_jitter)),
+         _discrete_cache_key(discrete), mode),
         build_drive,
     )
-    q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = drive(key)
+    if mode == "resume":
+        out = drive(
+            key, q_resume, jnp.asarray(resume.step_size, dt),
+            jnp.asarray(resume.inv_mass, dt),
+        )
+    elif mode == "fresh":
+        out = drive(key)
+    else:
+        out = drive(key, init_q)
+    q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = out
 
     # constrain positions -> per-site sample arrays (n_chains, n_samples, ...)
     positions = jnp.moveaxis(qs, 0, 1)  # (n_chains, n_samples, d)

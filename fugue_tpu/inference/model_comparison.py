@@ -131,7 +131,10 @@ def _gpd_fit(x: np.ndarray):
     mean over a profile grid) for sorted exceedances x > 0."""
     n = x.shape[0]
     m = 30 + int(np.sqrt(n))
-    prior_bs = 3.0 / x[int(n / 4 + 0.5) - 1] if n >= 4 else 3.0 / x[-1]
+    # Zhang & Stephens 2009 prior scale: 1/(3 * first-quartile exceedance)
+    prior_bs = (
+        1.0 / (3.0 * x[int(n / 4 + 0.5) - 1]) if n >= 4 else 1.0 / (3.0 * x[-1])
+    )
     js = np.arange(1, m + 1)
     bs = 1.0 / x[-1] + (1.0 - np.sqrt(m / (js - 0.5))) * prior_bs
     # profile likelihood over the grid; ξ = mean(log1p(-b x)) (heavy tails →
@@ -188,7 +191,6 @@ def psis_loo(log_lik) -> ELPDResult:
     S, n = ll.shape
     elpd_i = np.empty(n)
     ks = np.empty(n)
-    p_loo_acc = 0.0
     lppd_all = np.asarray(_logmeanexp(jnp.asarray(ll), axis=0))
     for i in range(n):
         lw, k = psis_smooth(-ll[:, i])

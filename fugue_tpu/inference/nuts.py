@@ -509,26 +509,45 @@ def nuts_chain(
         initial_positions,
     )
 
+    if init_position is not None:
+        init_q = jnp.asarray(init_position, settings.real_dtype())
+        mode = ("warm", init_q.ndim, float(init_jitter))
+    else:
+        mode = "fresh"
+
     def build_full():
-        def full(k):
-            k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 11), 3)
-            if init_position is not None:
-                q0 = _warm_start_batch(
-                    staged, k_init, n_chains, init_position, init_jitter
+        if mode == "fresh":
+            def full(k):
+                k_init, k_eps, k_run = jax.random.split(
+                    jax.random.fold_in(k, 11), 3
                 )
-            else:
                 q0 = initial_positions(staged, k_init, n_chains, config.init)
-            return drive(q0, k_eps, k_run)
+                return drive(q0, k_eps, k_run)
+        else:
+            # warm start flows in as a runtime argument: repeated
+            # MAP-then-NUTS calls with fresh MAPResult.z arrays reuse ONE
+            # compiled executable instead of retracing per array identity
+            def full(k, q_init):
+                k_init, k_eps, k_run = jax.random.split(
+                    jax.random.fold_in(k, 11), 3
+                )
+                q0 = _warm_start_batch(
+                    staged, k_init, n_chains, q_init, init_jitter
+                )
+                return drive(q0, k_eps, k_run)
 
         return jax.jit(full)
 
     full_drive = staged.cached_kernel(
         ("nuts_drive", config, n_chains, n_samples, n_warmup, chain_axis,
-         _discrete_cache_key(discrete),
-         None if init_position is None else (id(init_position), init_jitter)),
+         _discrete_cache_key(discrete), mode),
         build_full,
     )
-    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = full_drive(key)
+    if mode == "fresh":
+        out = full_drive(key)
+    else:
+        out = full_drive(key, init_q)
+    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = out
     positions = jnp.moveaxis(qs, 0, 1)
 
     return NUTSResult(

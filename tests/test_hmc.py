@@ -302,3 +302,66 @@ def test_resume_continues_with_warmed_kernel(tmp_path):
         np.asarray(second.positions[:, 0, 0]).mean(),
         np.asarray(first.final_positions[:, 0]).mean(), atol=0.5,
     )
+
+
+def test_warm_start_reuses_one_executable():
+    """Distinct warm-start arrays (the MAP-then-HMC pattern) must hit ONE
+    compiled executable: the init flows in as a jit argument, not a baked
+    constant (advisor finding, round 1)."""
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([0.7, 1.3]))
+        return mu
+
+    staged = ft.stage(model)
+    kw = dict(staged=staged, n_samples=20, n_warmup=20, n_chains=4)
+    r1 = hmc_chain(jax.random.PRNGKey(0), init_position=np.zeros(1), **kw)
+    n_cached = len(staged._kernel_cache)
+    r2 = hmc_chain(jax.random.PRNGKey(1), init_position=np.ones(1), **kw)
+    assert len(staged._kernel_cache) == n_cached  # same kernel-cache entry
+    (drive,) = [
+        v for k, v in staged._kernel_cache.items()
+        if isinstance(k, tuple) and k[0] == "hmc_drive"
+    ]
+    assert drive._cache_size() == 1  # one trace serves both arrays
+    # the two warm starts genuinely differ
+    assert not np.allclose(
+        np.asarray(r1.positions[:, 0]), np.asarray(r2.positions[:, 0])
+    )
+
+
+def test_resume_reuses_one_executable_across_step_sizes():
+    """Two resumes with different (step_size, positions) share one compiled
+    drive: eps/mass/positions are runtime arguments."""
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([0.7, 1.3]))
+        return mu
+
+    staged = ft.stage(model)
+    first = hmc_chain(jax.random.PRNGKey(0), staged=staged,
+                      n_samples=50, n_warmup=50, n_chains=4)
+
+    class Warm:
+        final_positions = first.final_positions
+        inv_mass = first.inv_mass
+        step_size = first.step_size
+
+    class Warm2:
+        final_positions = first.final_positions + 0.01
+        inv_mass = first.inv_mass
+        step_size = first.step_size * 0.9
+
+    hmc_chain(jax.random.PRNGKey(1), staged=staged, n_samples=50,
+              n_warmup=0, n_chains=4, resume=Warm())
+    n_cached = len(staged._kernel_cache)
+    hmc_chain(jax.random.PRNGKey(2), staged=staged, n_samples=50,
+              n_warmup=0, n_chains=4, resume=Warm2())
+    assert len(staged._kernel_cache) == n_cached
+    # resume + init_position together is a user error, not a silent drop
+    with pytest.raises(ValueError, match="not both"):
+        hmc_chain(jax.random.PRNGKey(3), staged=staged, n_samples=10,
+                  n_warmup=0, n_chains=4, resume=Warm(),
+                  init_position=np.zeros(1))
