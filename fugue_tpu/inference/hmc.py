@@ -158,6 +158,33 @@ def welford_push_batch(state: WelfordState, batch) -> WelfordState:
     return WelfordState(count=n_new, mean=mean_new, m2=m2_new)
 
 
+def welford_push_masked(state: WelfordState, batch, mask) -> WelfordState:
+    """``welford_push_batch`` with a per-row boolean ``mask``: only rows
+    where ``mask`` is True are folded into the moments. Used by the
+    asynchronous NUTS drive, where each loop iteration completes a
+    transition for an arbitrary subset of chains. A zero-mask batch is a
+    no-op."""
+    w = mask.astype(state.mean.dtype)
+    n_b = jnp.sum(w)
+    safe_n = jnp.maximum(n_b, 1.0)
+    mean_b = jnp.sum(batch * w[:, None], axis=0) / safe_n
+    centered = (batch - mean_b) * w[:, None]
+    n_new = state.count + n_b
+    delta = mean_b - state.mean
+    mean_new = state.mean + delta * (n_b / jnp.maximum(n_new, 1.0))
+    wgt = state.count * n_b / jnp.maximum(n_new, 1.0)
+    if state.m2.ndim == 2:
+        m2_new = state.m2 + centered.T @ centered + wgt * jnp.outer(delta, delta)
+    else:
+        m2_new = state.m2 + jnp.sum(centered**2, axis=0) + wgt * delta**2
+    empty = n_b == 0
+    return WelfordState(
+        count=jnp.where(empty, state.count, n_new),
+        mean=jnp.where(empty, state.mean, mean_new),
+        m2=jnp.where(empty, state.m2, m2_new),
+    )
+
+
 def welford_variance(state: WelfordState, regularize: bool = True):
     var = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
     if regularize:  # Stan-style shrinkage toward unit for small counts

@@ -49,6 +49,7 @@ from .hmc import (
     welford_covariance,
     welford_merge_across,
     welford_push_batch,
+    welford_push_masked,
     welford_variance,
 )
 
@@ -101,12 +102,14 @@ def _uturn(r_sum, r_left, r_right, inv_mass):
 
 
 def _auto_loop_mode(loop: Optional[str]) -> str:
+    # "async" (the flattened transition-pipelined drive, see
+    # make_nuts_drive_async) is the default everywhere: lock-step modes pay
+    # the per-transition MAX tree size over all vmapped chains, async pays
+    # each chain's OWN total leapfrog count (sum of means, not sum of
+    # maxes).
     if loop is not None:
         return loop
-    try:
-        return "chunked" if jax.devices()[0].platform == "tpu" else "while"
-    except Exception:
-        return "while"
+    return "async"
 
 
 def nuts_transition(
@@ -194,11 +197,15 @@ def nuts_transition(
 
         i = s["n"]
         # checkpoint push at even leaves: this leaf starts nested subtrees;
-        # store its (post-step) momentum and the subtree r_sum BEFORE it
+        # store its (post-step) momentum and the subtree r_sum BEFORE it.
+        # One-hot masked select instead of .at[slot].set — a traced-index
+        # dynamic-update-slice vmapped over chains lowers to a TPU scatter
+        # (measured ~100x slower than the elementwise select on v5e)
         is_even = (i % 2) == 0
         slot = _popcount(i)
-        rc = jnp.where(is_even, s["rc"].at[slot].set(r_new), s["rc"])
-        sc = jnp.where(is_even, s["sc"].at[slot].set(s["r_sum_sub"]), s["sc"])
+        sel = (is_even & (slot_ids == slot))[:, None]
+        rc = jnp.where(sel, r_new[None, :], s["rc"])
+        sc = jnp.where(sel, s["r_sum_sub"][None, :], s["sc"])
 
         r_sum_sub = s["r_sum_sub"] + r_new
 
@@ -342,6 +349,443 @@ def nuts_transition(
     return final["z_cand"], info
 
 
+def _da_fractional_update(
+    state: DualAveragingState,
+    accept_mean,
+    dc,
+    target: float = 0.8,
+    gamma: float = 0.05,
+    t0: float = 10.0,
+    kappa: float = 0.75,
+) -> DualAveragingState:
+    """Dual averaging on a continuous transition clock.
+
+    In the asynchronous drive, transitions complete scattered across loop
+    iterations; one iteration advances the adaptation clock by ``dc`` = the
+    MEAN number of transitions completed per chain (0 ≤ dc ≤ 1, fractional).
+    With dc == 1 this reduces exactly to ``dual_averaging_update``. The
+    averaging weights become dc-scaled so the recursion integrates the same
+    continuous-time ODE regardless of how completions bunch up."""
+    m = state.t + dc
+    eta_h = dc / (m + t0)
+    h_bar = (1.0 - eta_h) * state.h_bar + eta_h * (target - accept_mean)
+    log_eps = state.mu - jnp.sqrt(m) / gamma * h_bar
+    eta = jnp.clip(dc * jnp.power(jnp.maximum(m, 1e-6), -kappa), 0.0, 1.0)
+    log_eps_bar = eta * log_eps + (1.0 - eta) * state.log_eps_bar
+    new = DualAveragingState(
+        log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar, mu=state.mu, t=m
+    )
+    # no completions this iteration → adaptation state untouched
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(dc > 0, a, b), new, state
+    )
+
+
+def make_nuts_drive_async(
+    staged: StagedModel,
+    config: NUTSConfig,
+    n_chains: int,
+    n_samples: int,
+    n_warmup: int,
+    *,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axis: Optional[str] = None,
+):
+    """Asynchronous (transition-pipelined) NUTS drive — same interface and
+    warmup schedule as ``make_nuts_drive``, different loop structure.
+
+    The lock-step drive scans over transitions: every scan step builds one
+    NUTS tree for ALL chains, so every chain pays for the deepest tree in
+    the batch (at 1024 vmapped lanes the per-transition max depth is
+    essentially always ``max_depth``). This drive flattens (transitions ×
+    tree building) into ONE bounded loop: each iteration advances every
+    chain by one leapfrog, and a chain whose trajectory terminates
+    (U-turn / divergence / max depth) immediately records its sample and
+    starts its NEXT transition within the same loop. Lanes never idle
+    waiting for a deep straggler; each chain's cost is its OWN total
+    leapfrog count, so the batch finishes in
+    max_chain(Σ tree sizes) ≈ mean + O(√n) iterations instead of
+    Σ max_chain(tree size).
+
+    Cross-chain adaptation is preserved: dual averaging runs on a
+    fractional transition clock (``_da_fractional_update``) fed by the
+    chains that completed each iteration, and Welford mass moments fold in
+    completed positions via a masked push. Phase barriers (warmup midpoint
+    mass reset, warmup→sampling) keep the reference's two-window schedule
+    (hmc.rs:885-908 analog).
+    """
+    dt = settings.real_dtype()
+    d = staged.dim
+    max_depth = config.max_depth
+    neg_inf = jnp.asarray(-jnp.inf, dt)
+    slot_ids = jnp.arange(max_depth + 1, dtype=jnp.int32)
+    chunk = 16  # leapfrog iterations per while-loop trip (compile-friendly)
+
+    def potential(z):
+        return staged.potential(z, discrete)
+
+    vg_fn = jax.value_and_grad(potential)
+
+    dense = config.mass == "dense"
+    inv_mass0 = jnp.eye(d, dtype=dt) if dense else jnp.ones((d,), dt)
+
+    def psum_if_sharded(x):
+        if chain_axis is not None:
+            return jax.lax.psum(x, chain_axis)
+        return x
+
+    def fresh_tree(z, u, g, key, eps, rc, sc, inv_mass):
+        """Per-chain tree state at the start of a transition from (z, u, g).
+        The gradient/value at the start point are carried over from the
+        previous transition's candidate — no extra model evaluation at
+        restart. rc/sc checkpoint stacks are reused storage (every slot is
+        written before it is read within a subtree)."""
+        k_mom, k_dir, k_next = jax.random.split(key, 3)
+        r0 = mass_draw_momentum(k_mom, inv_mass, (d,), dt)
+        h0 = u + mass_kinetic(inv_mass, r0)
+        dir0 = jnp.where(jax.random.bernoulli(k_dir, 0.5), 1.0, -1.0).astype(dt)
+        return dict(
+            key=k_next,
+            depth=jnp.zeros((), jnp.int32),
+            n=jnp.zeros((), jnp.int32),
+            direction=dir0,
+            z=z, r=r0, g=g,
+            z_l=z, r_l=r0, g_l=g,
+            z_r=z, r_r=r0, g_r=g,
+            z_cand=z, u_cand=u, g_cand=g,
+            log_w_tree=jnp.zeros((), dt),
+            r_sum_tree=r0,
+            z_cand_sub=z, u_cand_sub=u, g_cand_sub=g,
+            log_w_sub=neg_inf,
+            r_sum_sub=jnp.zeros((d,), dt),
+            rc=rc, sc=sc,
+            sum_accept=jnp.zeros((), dt),
+            n_leaves=jnp.zeros((), dt),
+            stop=jnp.zeros((), bool),
+            diverging=jnp.zeros((), bool),
+            h0=h0,
+            eps=eps,
+        )
+
+    def leaf_step(s, inv_mass):
+        """One leapfrog + tree bookkeeping for a single chain — the body of
+        ``nuts_transition`` with (h0, eps) carried in the state and the
+        candidate's (potential, gradient) tracked alongside its position so
+        a completed transition can restart without re-evaluating the
+        model."""
+        kk, k_sel, k_bias, k_dir = jax.random.split(s["key"], 4)
+        eps_s = s["direction"] * s["eps"]
+
+        r_half = s["r"] - 0.5 * eps_s * s["g"]
+        z_new = s["z"] + eps_s * mass_velocity(inv_mass, r_half)
+        u_new, g_new = vg_fn(z_new)
+        r_new = r_half - 0.5 * eps_s * g_new
+        h_new = u_new + mass_kinetic(inv_mass, r_new)
+        delta = s["h0"] - h_new
+        leaf_div = (~jnp.isfinite(delta)) | (-delta > config.max_delta_energy)
+        log_w_leaf = jnp.where(leaf_div, neg_inf, delta)
+
+        i = s["n"]
+        # one-hot select, not .at[slot].set — see nuts_transition's body
+        is_even = (i % 2) == 0
+        slot = _popcount(i)
+        sel = (is_even & (slot_ids == slot))[:, None]
+        rc = jnp.where(sel, r_new[None, :], s["rc"])
+        sc = jnp.where(sel, s["r_sum_sub"][None, :], s["sc"])
+
+        r_sum_sub = s["r_sum_sub"] + r_new
+
+        log_w_sub = jnp.logaddexp(s["log_w_sub"], log_w_leaf)
+        take = jnp.log(
+            jax.random.uniform(k_sel, (), dt, 1e-38, 1.0)
+        ) < (log_w_leaf - log_w_sub)
+        z_cand_sub = jnp.where(take, z_new, s["z_cand_sub"])
+        u_cand_sub = jnp.where(take, u_new, s["u_cand_sub"])
+        g_cand_sub = jnp.where(take, g_new, s["g_cand_sub"])
+
+        leaf_accept = jnp.where(
+            leaf_div, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
+        )
+        sum_accept = s["sum_accept"] + jnp.where(
+            jnp.isfinite(leaf_accept), leaf_accept, 0.0
+        )
+        n_leaves = s["n_leaves"] + 1.0
+
+        t_ones = _trailing_ones(i)
+        pc = _popcount(i)
+        in_range = (slot_ids >= pc - t_ones) & (slot_ids <= pc - 1)
+        sub_sums = r_sum_sub[None, :] - sc
+        v_starts = jax.vmap(lambda rr: mass_velocity(inv_mass, rr))(rc)
+        v_new = mass_velocity(inv_mass, r_new)
+        bad = (jnp.sum(sub_sums * v_starts, axis=-1) < 0) | (
+            sub_sums @ v_new < 0
+        )
+        sub_turn = ((i % 2) == 1) & jnp.any(in_range & bad)
+
+        n_new = i + 1
+        subtree_size = (jnp.int32(1) << s["depth"])
+        fail = sub_turn | leaf_div
+        complete = (n_new == subtree_size) & (~fail)
+
+        going_right = s["direction"] > 0
+        upd_l = complete & (~going_right)
+        upd_r = complete & going_right
+        z_l = jnp.where(upd_l, z_new, s["z_l"])
+        r_l = jnp.where(upd_l, r_new, s["r_l"])
+        g_l = jnp.where(upd_l, g_new, s["g_l"])
+        z_r = jnp.where(upd_r, z_new, s["z_r"])
+        r_r = jnp.where(upd_r, r_new, s["r_r"])
+        g_r = jnp.where(upd_r, g_new, s["g_r"])
+
+        accept_new = jnp.log(
+            jax.random.uniform(k_bias, (), dt, 1e-38, 1.0)
+        ) < (log_w_sub - s["log_w_tree"])
+        take_tree = complete & accept_new
+        z_cand = jnp.where(take_tree, z_cand_sub, s["z_cand"])
+        u_cand = jnp.where(take_tree, u_cand_sub, s["u_cand"])
+        g_cand = jnp.where(take_tree, g_cand_sub, s["g_cand"])
+        log_w_tree = jnp.where(
+            complete, jnp.logaddexp(s["log_w_tree"], log_w_sub), s["log_w_tree"]
+        )
+        r_sum_tree = jnp.where(
+            complete, s["r_sum_tree"] + r_sum_sub, s["r_sum_tree"]
+        )
+        tree_turn = complete & _uturn(r_sum_tree, r_l, r_r, inv_mass)
+
+        depth = jnp.where(complete, s["depth"] + 1, s["depth"])
+        stop = fail | tree_turn
+
+        start_next = complete & (~stop)
+        new_dir = jnp.where(
+            jax.random.bernoulli(k_dir, 0.5), 1.0, -1.0
+        ).astype(dt)
+        direction = jnp.where(start_next, new_dir, s["direction"])
+        next_right = direction > 0
+        z_w = jnp.where(start_next, jnp.where(next_right, z_r, z_l), z_new)
+        r_w = jnp.where(start_next, jnp.where(next_right, r_r, r_l), r_new)
+        g_w = jnp.where(start_next, jnp.where(next_right, g_r, g_l), g_new)
+
+        return dict(
+            key=kk,
+            depth=depth,
+            n=jnp.where(start_next, 0, n_new),
+            direction=direction,
+            z=z_w, r=r_w, g=g_w,
+            z_l=z_l, r_l=r_l, g_l=g_l,
+            z_r=z_r, r_r=r_r, g_r=g_r,
+            z_cand=z_cand, u_cand=u_cand, g_cand=g_cand,
+            log_w_tree=log_w_tree,
+            r_sum_tree=r_sum_tree,
+            z_cand_sub=jnp.where(start_next, z_w, z_cand_sub),
+            u_cand_sub=u_cand_sub,
+            g_cand_sub=g_cand_sub,
+            log_w_sub=jnp.where(start_next, neg_inf, log_w_sub),
+            r_sum_sub=jnp.where(start_next, jnp.zeros((d,), dt), r_sum_sub),
+            rc=rc, sc=sc,
+            sum_accept=sum_accept,
+            n_leaves=n_leaves,
+            stop=stop,
+            diverging=s["diverging"] | leaf_div,
+            h0=s["h0"],
+            eps=s["eps"],
+        )
+
+    def advance_chain(s, t, q_cur, u_cur, g_cur, n_phase, eps_shared, inv_mass):
+        """One loop iteration for a single chain: one leapfrog, then — if
+        the transition terminated — emit the candidate and restart a fresh
+        tree from it. Chains past ``n_phase`` transitions idle (masked)."""
+        active = t < n_phase
+        s1 = leaf_step(s, inv_mass)
+        completed = active & (s1["stop"] | (s1["depth"] >= max_depth))
+        accept_stat = jnp.where(
+            s1["n_leaves"] > 0, s1["sum_accept"] / s1["n_leaves"], 0.0
+        )
+        q_new = jnp.where(completed, s1["z_cand"], q_cur)
+        u_new = jnp.where(completed, s1["u_cand"], u_cur)
+        g_new = jnp.where(completed, s1["g_cand"], g_cur)
+        t_new = t + completed.astype(jnp.int32)
+
+        fresh = fresh_tree(
+            q_new, u_new, g_new, s1["key"], eps_shared,
+            s1["rc"], s1["sc"], inv_mass,
+        )
+        s2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(completed, a, b), fresh, s1
+        )
+        s_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), s2, s
+        )
+        stats = dict(
+            completed=completed,
+            accept_stat=accept_stat,
+            depth=s1["depth"],
+            diverging=s1["diverging"],
+        )
+        return s_out, t_new, q_new, u_new, g_new, stats
+
+    v_advance = jax.vmap(
+        advance_chain, in_axes=(0, 0, 0, 0, 0, None, None, None)
+    )
+
+    def run_phase(q, u, g, ema, key, da, welford, inv_mass, n_phase):
+        """Run every chain for ``n_phase`` transitions (adaptation on);
+        returns the updated (q, u, g, ema, da, welford).
+
+        Used for the WARMUP windows only: warmup needs no per-transition
+        recording, so the loop body is pure elementwise work + cheap
+        reductions. (Per-transition sample recording inside this loop would
+        need a variable-row scatter — measured 60-400 µs/iteration on v5e,
+        dwarfing the ~8 µs of actual leapfrog compute — so the sampling
+        phase instead runs the lock-step chunked build, whose ``lax.scan``
+        stacks outputs for free.)"""
+        if n_phase == 0:
+            return q, u, g, ema, da, welford
+
+        total_chains = psum_if_sharded(jnp.asarray(n_chains, dt))
+        keys = chain_keys(key, n_chains)
+        eps_start = jnp.exp(da.log_eps)
+        rc0 = jnp.zeros((n_chains, max_depth + 1, d), dt)
+        v_fresh = jax.vmap(
+            fresh_tree, in_axes=(0, 0, 0, 0, None, 0, 0, None)
+        )
+        S0 = v_fresh(q, u, g, keys, eps_start, rc0, rc0, inv_mass)
+
+        carry0 = dict(
+            S=S0,
+            t=jnp.zeros((n_chains,), jnp.int32),
+            q=q, u=u, g=g, ema=ema,
+            da=da, welford=welford,
+            remaining=jnp.asarray(1, jnp.int32),
+        )
+
+        def body_iter(c, _):
+            da_c = c["da"]
+            eps_shared = jnp.exp(da_c.log_eps)
+            S2, t2, q2, u2, g2, stats = v_advance(
+                c["S"], c["t"], c["q"], c["u"], c["g"],
+                n_phase, eps_shared, inv_mass,
+            )
+            completed = stats["completed"]
+            comp_f = completed.astype(dt)
+
+            c_cnt = psum_if_sharded(jnp.sum(comp_f))
+            a_sum = psum_if_sharded(jnp.sum(stats["accept_stat"] * comp_f))
+            dc = c_cnt / total_chains
+            a_mean = a_sum / jnp.maximum(c_cnt, 1.0)
+            da2 = _da_fractional_update(
+                da_c, a_mean, dc, config.target_accept
+            )
+
+            welford2 = welford_push_masked(c["welford"], q2, completed)
+            ema2 = jnp.where(
+                completed, 0.9 * c["ema"] + 0.1 * stats["accept_stat"],
+                c["ema"],
+            )
+
+            remaining = psum_if_sharded(
+                jnp.sum(t2 < n_phase)
+            ).astype(jnp.int32)
+            return dict(
+                S=S2, t=t2, q=q2, u=u2, g=g2, ema=ema2,
+                da=da2, welford=welford2, remaining=remaining,
+            ), None
+
+        def chunk_body(c):
+            c, _ = jax.lax.scan(body_iter, c, None, length=chunk)
+            return c
+
+        final = jax.lax.while_loop(
+            lambda c: c["remaining"] > 0, chunk_body, carry0
+        )
+        return (
+            final["q"], final["u"], final["g"], final["ema"],
+            final["da"], final["welford"],
+        )
+
+    def rescue_stuck(q, ema, k):
+        # warmup-only cross-chain rescue (see hmc.make_hmc_drive)
+        donors = jax.random.categorical(
+            k, jnp.log(ema + 1e-6), shape=(n_chains,)
+        )
+        stuck = ema < 0.1
+        return jnp.where(stuck[:, None], q[donors], q)
+
+    def drive(q0, k_eps, k_run):
+        if config.step_size is not None:
+            eps0 = jnp.asarray(config.step_size, dt)
+        else:
+            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
+            if chain_axis is not None:
+                eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
+        da0 = DualAveragingState.init(eps0)
+
+        u0, g0 = jax.vmap(vg_fn)(q0)
+        ema0 = jnp.full((n_chains,), 0.5, dt)
+        n_half = n_warmup // 2
+        inv_mass_f = inv_mass0
+        q_w, u_w, g_w, da_w = q0, u0, g0, da0
+
+        if n_warmup > 0:
+            q1, _, _, ema1, da1, w1 = run_phase(
+                q0, u0, g0, ema0, jax.random.fold_in(k_run, 0),
+                da0, WelfordState.init(d, dense), inv_mass0, n_half,
+            )
+            q1 = rescue_stuck(q1, ema1, jax.random.fold_in(k_run, 91))
+            if config.adapt_mass:
+                if chain_axis is not None:
+                    w1 = welford_merge_across(w1, chain_axis)
+                inv_mass1 = (welford_covariance(w1) if dense
+                             else welford_variance(w1))
+                da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
+            else:
+                inv_mass1 = inv_mass0
+            u1, g1 = jax.vmap(vg_fn)(q1)
+            q2, _, _, ema2, da2, _ = run_phase(
+                q1, u1, g1, jnp.full((n_chains,), 0.5, dt),
+                jax.random.fold_in(k_run, 1),
+                da1, WelfordState.init(d, dense), inv_mass1,
+                n_warmup - n_half,
+            )
+            q2 = rescue_stuck(q2, ema2, jax.random.fold_in(k_run, 92))
+            u2, g2 = jax.vmap(vg_fn)(q2)
+            q_w, u_w, g_w, da_w = q2, u2, g2, da2
+            inv_mass_f = inv_mass1
+
+        eps_final = (
+            jnp.exp(da_w.log_eps_bar)
+            if (config.adapt_step_size and n_warmup > 0)
+            else jnp.exp(da_w.log_eps)
+        )
+
+        # SAMPLING: lock-step chunked tree build scanned over transitions —
+        # lax.scan stacks the per-transition outputs for free, where the
+        # async loop would need a variable-row scatter per leapfrog (the
+        # measured bottleneck). The lock-step build pays the per-transition
+        # max tree size over chains, but with the one-hot checkpoint stack
+        # its per-leapfrog cost is a few microseconds at 1024 chains, so
+        # warmup (async, adaptation-heavy) + sampling (lock-step, record-
+        # heavy) is the fastest composition measured on the chip.
+        vstep = jax.vmap(
+            lambda q, k, eps, im: nuts_transition(
+                potential, q, k, eps, im, max_depth,
+                config.max_delta_energy, "chunked",
+            ),
+            in_axes=(0, 0, None, None),
+        )
+
+        def sample_body(q, k):
+            keys = jax.random.split(k, n_chains)
+            q_new, info = vstep(q, keys, eps_final, inv_mass_f)
+            return q_new, (q_new, info["accept_prob"], info["diverging"],
+                           info["depth"])
+
+        keys = jax.random.split(jax.random.fold_in(k_run, 2), n_samples)
+        q_f, (qs, aps, divs, depths) = jax.lax.scan(sample_body, q_w, keys)
+        return q_f, qs, aps, divs, depths, eps_final, inv_mass_f
+
+    return drive
+
+
 @dataclass
 class NUTSResult:
     samples: Dict[str, Any]
@@ -370,6 +814,11 @@ def make_nuts_drive(
     batch on mesh axis ``chain_axis`` (adaptation statistics — acceptance
     pmean, initial-epsilon consensus, Welford mass merge — become ICI
     collectives)."""
+    if _auto_loop_mode(config.loop) == "async":
+        return make_nuts_drive_async(
+            staged, config, n_chains, n_samples, n_warmup,
+            discrete=discrete, chain_axis=chain_axis,
+        )
     dt = settings.real_dtype()
     d = staged.dim
 
