@@ -458,37 +458,46 @@ def optimize_fullrank_vi(
 
     if staged is None:
         staged = stage(model_fn, *model_args)
-    guide = FullRankGuide(staged)
+
+    def build():
+        guide = FullRankGuide(staged)
+        t0 = max(config.n_iterations / 10.0, 1.0)
+        schedule = lambda t: config.learning_rate * jnp.power(1.0 + t / t0, -0.6)
+        tx = optax.adam(schedule)
+
+        def neg_elbo(p, k):
+            def one(kk):
+                z = guide.sample_z(kk, p)
+                return staged.log_joint_unconstrained(z)
+
+            e = jnp.mean(
+                jax.vmap(one)(chain_keys(k, config.n_samples))
+            ) + guide.entropy(p)
+            return -e
+
+        @jax.jit
+        def chunk(params, opt_state, key):
+            def body(carry, k):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(neg_elbo)(params, k)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                params = guide.clamp(params)
+                return (params, opt_state), -loss
+
+            keys = jax.random.split(key, config.check_every)
+            (params, opt_state), elbos = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
+            return params, opt_state, elbos
+
+        return guide, tx, chunk
+
+    # one compiled executable per (engine, config) — never a fresh jit
+    # closure per call (CLAUDE.md invariant; staged analog of FG-11/12)
+    guide, tx, chunk = staged.cached_kernel(("vi_fullrank", config), build)
     params = guide.init_params()
-
-    t0 = max(config.n_iterations / 10.0, 1.0)
-    schedule = lambda t: config.learning_rate * jnp.power(1.0 + t / t0, -0.6)
-    tx = optax.adam(schedule)
     opt_state = tx.init(params)
-
-    def neg_elbo(p, k):
-        def one(kk):
-            z = guide.sample_z(kk, p)
-            return staged.log_joint_unconstrained(z)
-
-        e = jnp.mean(
-            jax.vmap(one)(chain_keys(k, config.n_samples))
-        ) + guide.entropy(p)
-        return -e
-
-    @jax.jit
-    def chunk(params, opt_state, key):
-        def body(carry, k):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(neg_elbo)(params, k)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            params = guide.clamp(params)
-            return (params, opt_state), -loss
-
-        keys = jax.random.split(key, config.check_every)
-        (params, opt_state), elbos = jax.lax.scan(body, (params, opt_state), keys)
-        return params, opt_state, elbos
 
     history: List[float] = []
     converged = False
@@ -534,40 +543,55 @@ def optimize_meanfield_vi(
 
     if staged is None:
         staged = stage(model_fn, *model_args)
-    guide = MeanFieldGuide(staged)
-    params = guide.init_params()
 
-    if config.optimizer == "adam":
-        # anneal: Adam's scale-free steps otherwise jitter around the optimum
-        # at the stationary phase (the Robbins-Monro condition the reference
-        # satisfies via decayed steps, vi.rs:824-825). Polynomial decay keeps
-        # late-phase motion alive for weakly-curved directions.
-        t0 = max(config.n_iterations / 10.0, 1.0)
-        schedule = lambda t: config.learning_rate * jnp.power(1.0 + t / t0, -0.6)
-        tx = optax.adam(schedule)
-    else:
-        if config.decay > 0:
-            schedule = lambda t: config.learning_rate * jnp.power(t + 1.0, -config.decay)
+    def build():
+        guide = MeanFieldGuide(staged)
+        if config.optimizer == "adam":
+            # anneal: Adam's scale-free steps otherwise jitter around the
+            # optimum at the stationary phase (the Robbins-Monro condition the
+            # reference satisfies via decayed steps, vi.rs:824-825).
+            # Polynomial decay keeps late-phase motion alive for weakly-curved
+            # directions.
+            t0 = max(config.n_iterations / 10.0, 1.0)
+            schedule = lambda t: config.learning_rate * jnp.power(
+                1.0 + t / t0, -0.6
+            )
+            tx = optax.adam(schedule)
+        elif config.decay > 0:
+            schedule = lambda t: config.learning_rate * jnp.power(
+                t + 1.0, -config.decay
+            )
             tx = optax.sgd(schedule)
         else:
             tx = optax.sgd(config.learning_rate)
+
+        loss_fn = lambda p, k: -elbo_analytic_entropy(
+            k, guide, p, config.n_samples
+        )
+
+        @jax.jit
+        def chunk(params, opt_state, key):
+            def body(carry, k):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, k)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                params = guide.clamp(params)
+                return (params, opt_state), -loss
+
+            keys = jax.random.split(key, config.check_every)
+            (params, opt_state), elbos = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
+            return params, opt_state, elbos
+
+        return guide, tx, chunk
+
+    # one compiled executable per (engine, config) — never a fresh jit
+    # closure per call (CLAUDE.md invariant; staged analog of FG-11/12)
+    guide, tx, chunk = staged.cached_kernel(("vi_meanfield", config), build)
+    params = guide.init_params()
     opt_state = tx.init(params)
-
-    loss_fn = lambda p, k: -elbo_analytic_entropy(k, guide, p, config.n_samples)
-
-    @jax.jit
-    def chunk(params, opt_state, key):
-        def body(carry, k):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, k)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            params = guide.clamp(params)
-            return (params, opt_state), -loss
-
-        keys = jax.random.split(key, config.check_every)
-        (params, opt_state), elbos = jax.lax.scan(body, (params, opt_state), keys)
-        return params, opt_state, elbos
 
     history: List[float] = []
     converged = False

@@ -1,161 +1,226 @@
-"""Multi-host (pod) bootstrap: process initialization + DCN×ICI meshes.
+"""Multi-host (pod) backend: process bootstrap + DCN×ICI two-level meshes.
 
-SURVEY.md §5 "Distributed communication backend" plan-of-record: a single
-module wrapping ``jax.distributed.initialize``, two-level mesh construction
-over ICI (within-host chip interconnect) and DCN (across-host data-center
-network), and the collective vocabulary the engines already speak
-(``lax.pmean``/``psum`` accept a TUPLE of axis names, so every
-``chain_axis=...`` code path in hmc/nuts/smc works unchanged over a
-two-level mesh by passing ``chain_axis=("hosts", "chains")``).
+The reference has no distributed layer at all (single-threaded Rust,
+Cargo.toml:48-52 — no MPI/NCCL); this module is the invented TPU-native
+structure SURVEY.md §5 "Distributed communication backend" calls for:
 
-The reference has nothing to port here (single-threaded Rust,
-Cargo.toml:48-52); this is the invented TPU-native structure. Design rules
-(scaling-book recipe): shard the chain/particle batch over BOTH axes so the
-hot per-transition collectives (acceptance pmean, Welford psum) are
-hierarchical — XLA reduces within a host over ICI first, then once per host
-over DCN — and keep everything else replicated.
+- ``initialize_distributed`` wraps ``jax.distributed.initialize`` with an
+  env-var bootstrap (idempotent, no-op for single-process runs), so the same
+  script runs unchanged on a laptop, one host, or a pod slice.
+- ``make_hybrid_mesh`` builds a two-level device mesh: DCN (host-spanning)
+  axes OUTERMOST, ICI (within-slice) axes innermost, so collectives along the
+  inner axes ride ICI and only coarse reductions cross DCN — the
+  scaling-book layout rule.
+- ``flat_axis_index`` linearizes a multi-axis shard index for deterministic
+  per-shard RNG folding that is independent of how the chain batch is split
+  across DCN×ICI.
 
-Pod runbook (v5e multi-host):
-    # on every host (SLURM/GKE set the env; TPU pods auto-detect all three):
-    #   JAX_COORDINATOR_ADDRESS=host0:8476
-    #   JAX_NUM_PROCESSES=4
-    #   JAX_PROCESS_ID=$i
-    import fugue_tpu as ft
-    ft.parallel.initialize_distributed()           # no-op on one host
-    mesh = ft.parallel.make_pod_mesh()             # ("hosts", "chains")
-    res = ft.parallel.sharded_hmc_chain(
-        key, model, n_chains=4096, mesh=mesh,
-    )                                              # every host: same result
+Pod runbook (see docs/pod_runbook.md): every host runs the SAME program;
+set ``FUGUE_COORDINATOR_ADDRESS``, ``FUGUE_NUM_PROCESSES``,
+``FUGUE_PROCESS_ID`` (or rely on the cluster auto-detection built into
+``jax.distributed.initialize``), call ``initialize_distributed()`` first,
+then build a hybrid mesh and pass it to the sharded drivers.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from .mesh import CHAIN_AXIS
+_ENV_PREFIXES = ("FUGUE_", "JAX_")
 
-HOST_AXIS = "hosts"
-
+# module-level idempotence guard (jax.distributed.initialize raises if
+# called twice; a no-op second call is friendlier for notebook reruns)
 _initialized = False
 
 
-def distributed_env(environ=None) -> dict:
-    """Read the bootstrap parameters from the environment.
+@dataclass(frozen=True)
+class DistributedConfig:
+    """Bootstrap parameters for ``jax.distributed.initialize``.
 
-    Recognizes JAX's own variable names plus the common scheduler aliases,
-    so one binary runs under SLURM, GKE JobSet indexes, or hand-rolled
-    launch scripts. Returns {} when nothing is set (single-process run or a
-    TPU pod where libtpu auto-detects everything).
+    ``None`` fields are omitted from the call so JAX's own cluster
+    auto-detection (GKE/SLURM/Borg env conventions) still applies.
     """
-    env = os.environ if environ is None else environ
-    coord = env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS")
-    nproc = env.get("JAX_NUM_PROCESSES") or env.get("NUM_PROCESSES")
-    pid = env.get("JAX_PROCESS_ID")
-    if pid is None:
-        pid = env.get("PROCESS_ID")
-    if pid is None:
-        pid = env.get("JOB_COMPLETION_INDEX")  # GKE JobSet
-    if pid is None:
-        pid = env.get("SLURM_PROCID")
-    if nproc is None:
-        nproc = env.get("SLURM_NTASKS")
-    out = {}
-    if coord is not None:
-        out["coordinator_address"] = coord
-    if nproc is not None:
-        out["num_processes"] = int(nproc)
-    if pid is not None:
-        out["process_id"] = int(pid)
-    return out
+
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+    local_device_ids: Optional[Tuple[int, ...]] = None
+
+    @property
+    def is_multiprocess(self) -> bool:
+        if self.num_processes is not None:
+            return self.num_processes > 1
+        return self.coordinator_address is not None
+
+
+def _env_get(env: Mapping[str, str], name: str) -> Optional[str]:
+    for prefix in _ENV_PREFIXES:
+        v = env.get(prefix + name)
+        if v is not None and v != "":
+            return v
+    return None
+
+
+def config_from_env(env: Optional[Mapping[str, str]] = None) -> DistributedConfig:
+    """Parse the bootstrap config from environment variables.
+
+    Recognized (``FUGUE_`` wins over ``JAX_``): ``*_COORDINATOR_ADDRESS``,
+    ``*_NUM_PROCESSES``, ``*_PROCESS_ID``, ``*_LOCAL_DEVICE_IDS`` (comma
+    separated). Absent vars stay ``None`` (auto-detect).
+    """
+    if env is None:
+        env = os.environ
+    coord = _env_get(env, "COORDINATOR_ADDRESS")
+    nproc = _env_get(env, "NUM_PROCESSES")
+    pid = _env_get(env, "PROCESS_ID")
+    local = _env_get(env, "LOCAL_DEVICE_IDS")
+    return DistributedConfig(
+        coordinator_address=coord,
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None,
+        local_device_ids=(
+            tuple(int(x) for x in local.split(",")) if local else None
+        ),
+    )
 
 
 def initialize_distributed(
-    coordinator_address: Optional[str] = None,
-    num_processes: Optional[int] = None,
-    process_id: Optional[int] = None,
-    **kwargs,
+    config: Optional[DistributedConfig] = None,
+    *,
+    env: Optional[Mapping[str, str]] = None,
+    _initialize_fn=None,
 ) -> bool:
-    """Bootstrap the multi-process JAX runtime (idempotent).
+    """Bootstrap the JAX distributed runtime from ``config`` (or env vars).
 
-    Explicit arguments win; otherwise the environment (``distributed_env``)
-    is consulted; on a Cloud TPU pod slice all three are auto-detected by
-    ``jax.distributed.initialize`` itself. Returns True when a multi-process
-    runtime was (or already had been) initialized, False when this is a
-    single-process run (nothing to do) — so library code can call it
-    unconditionally.
+    Returns ``True`` if ``jax.distributed.initialize`` was called, ``False``
+    for the single-process no-op. Idempotent: a second call is a no-op.
+    ``_initialize_fn`` is a test seam (defaults to
+    ``jax.distributed.initialize``).
     """
     global _initialized
     if _initialized:
-        return True
-    params = distributed_env()
-    if coordinator_address is not None:
-        params["coordinator_address"] = coordinator_address
-    if num_processes is not None:
-        params["num_processes"] = num_processes
-    if process_id is not None:
-        params["process_id"] = process_id
-    if not params and jax.default_backend() != "tpu":
-        # nothing configured and no TPU auto-detection available
         return False
-    if params.get("num_processes") == 1 and "coordinator_address" not in params:
-        return False
-    jax.distributed.initialize(**params, **kwargs)
+    if config is None:
+        config = config_from_env(env)
+    if not config.is_multiprocess:
+        return False  # single process: nothing to coordinate
+    kwargs = {}
+    if config.coordinator_address is not None:
+        kwargs["coordinator_address"] = config.coordinator_address
+    if config.num_processes is not None:
+        kwargs["num_processes"] = config.num_processes
+    if config.process_id is not None:
+        kwargs["process_id"] = config.process_id
+    if config.local_device_ids is not None:
+        kwargs["local_device_ids"] = list(config.local_device_ids)
+    fn = _initialize_fn if _initialize_fn is not None else (
+        jax.distributed.initialize
+    )
+    fn(**kwargs)
     _initialized = True
     return True
 
 
-def make_pod_mesh(
-    axis_names: Tuple[str, str] = (HOST_AXIS, CHAIN_AXIS),
-    devices=None,
-) -> Mesh:
-    """Two-level DCN×ICI mesh: hosts × local devices.
+# ---------------------------------------------------------------------------
+# DCN × ICI two-level meshes
+# ---------------------------------------------------------------------------
 
-    The first axis enumerates processes (collectives over it cross DCN);
-    the second axis enumerates each process's local devices (collectives
-    ride ICI). On a single host this degenerates to a (1, n_local) mesh —
-    the same program runs anywhere. Device order within each mesh row is
-    the host's local order, so ICI-neighbor collectives stay on-chip.
+
+def make_hybrid_mesh(
+    ici_axes: Dict[str, int],
+    dcn_axes: Optional[Dict[str, int]] = None,
+    *,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Two-level mesh: ``dcn_axes`` (outermost, host-spanning) × ``ici_axes``
+    (innermost, within a slice). Axis order in the mesh is
+    ``(*dcn_axes, *ici_axes)`` so that sharding a batch over
+    ``tuple(mesh.axis_names)`` keeps neighboring shards ICI-adjacent and
+    collectives over the inner axes never leave the slice.
+
+    An axis size of ``-1`` (at most one per level) infers the size from the
+    device count. On a real multi-process pod this uses
+    ``mesh_utils.create_hybrid_device_mesh`` (DCN-aware placement); in a
+    single process (including virtual CPU device farms) it falls back to a
+    row-major reshape, which preserves the same logical layout for testing.
     """
+    if dcn_axes is None:
+        dcn_axes = {}
     if devices is None:
         devices = jax.devices()
-    n_proc = max(jax.process_count(), 1)
-    per_host = len(devices) // n_proc
-    if per_host * n_proc != len(devices):
+    n = len(devices)
+
+    names = tuple(dcn_axes) + tuple(ici_axes)
+    sizes = list(dcn_axes.values()) + list(ici_axes.values())
+    if sizes.count(-1) > 1:
+        raise ValueError("at most one axis size may be -1 (inferred)")
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1])) if len(sizes) > 1 else 1
+        if n % known:
+            raise ValueError(
+                f"cannot infer axis: {n} devices not divisible by {known}"
+            )
+        sizes[sizes.index(-1)] = n // known
+    if int(np.prod(sizes)) != n:
         raise ValueError(
-            f"{len(devices)} devices do not split evenly over {n_proc} hosts"
+            f"mesh {dict(zip(names, sizes))} needs {int(np.prod(sizes))} "
+            f"devices, have {n}"
         )
-    if n_proc > 1:
-        try:
-            from jax.experimental import mesh_utils
 
-            grid = mesh_utils.create_hybrid_device_mesh(
-                (1, per_host), (n_proc, 1), devices=devices
-            ).reshape(n_proc, per_host)
-            return Mesh(grid, axis_names)
-        except Exception:
-            pass  # fall through to the process-id grouping below
-    # group by owning process so axis 0 is the DCN axis
-    order = sorted(devices, key=lambda d: (d.process_index, d.id))
-    grid = np.asarray(order).reshape(n_proc, per_host)
-    return Mesh(grid, axis_names)
+    n_dcn = len(dcn_axes)
+    dcn_shape = sizes[:n_dcn]
+    ici_shape = sizes[n_dcn:]
+
+    if jax.process_count() > 1 and n_dcn > 0:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=ici_shape or (1,),
+            dcn_mesh_shape=dcn_shape,
+            devices=devices,
+        )
+        grid = grid.reshape(sizes)
+    else:
+        # single process (or no DCN level): row-major reshape keeps the
+        # logical layout identical for virtual-device testing
+        grid = np.asarray(devices).reshape(sizes)
+    return Mesh(grid, names)
 
 
-def pod_chain_axes(mesh: Mesh) -> Tuple[str, ...]:
-    """The axis-name tuple to pass as ``chain_axis`` for a mesh built by
-    ``make_pod_mesh`` (collectives reduce over hosts AND local chips)."""
-    return tuple(mesh.axis_names)
+def make_pod_chain_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """The default pod layout for MCMC/SMC: one DCN axis over hosts, one ICI
+    axis over each host's local devices; shard chain/particle batches over
+    BOTH axes (``chain_axes=("hosts", "chains")``)."""
+    if devices is None:
+        devices = jax.devices()
+    n_hosts = jax.process_count()
+    if len(devices) % n_hosts:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by {n_hosts} hosts"
+        )
+    return make_hybrid_mesh(
+        ici_axes={"chains": len(devices) // n_hosts},
+        dcn_axes={"hosts": n_hosts},
+        devices=devices,
+    )
 
 
-def process_local_slice(global_n: int, mesh: Mesh) -> slice:
-    """The [start, stop) rows of a globally (host-)sharded chain batch that
-    live on THIS process — for building per-host input shards when arrays
-    are too large to materialize globally."""
-    n_proc = max(jax.process_count(), 1)
-    per = global_n // n_proc
-    pid = jax.process_index()
-    return slice(pid * per, (pid + 1) * per)
+def flat_axis_index(mesh: Mesh, axes: Sequence[str]):
+    """Row-major linear shard index over ``axes`` (inside ``shard_map``).
+
+    Used to fold per-shard RNG streams deterministically; the flat index —
+    and hence the sampled chains — depends only on the logical mesh layout,
+    not on which physical host runs the shard.
+    """
+    import jax.numpy as jnp
+
+    idx = jnp.zeros((), jnp.int32)
+    for ax in axes:
+        idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+    return idx

@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import settings
 from ..core.rng import chain_keys
 from ..runtime.staging import StagedModel, stage
+from .distributed import flat_axis_index
 from .mesh import CHAIN_AXIS, chain_sharding, make_chain_mesh
 
 
@@ -46,6 +47,23 @@ def _shard_map(f, mesh, in_specs, out_specs):
                    check_rep=False)
 
 
+def _resolve_chain_axes(mesh: Mesh, chain_axes) -> tuple:
+    """Default chain axes: the named CHAIN_AXIS when present, else EVERY
+    mesh axis (the pod layout: chains sharded over hosts x local devices)."""
+    if chain_axes is None:
+        if CHAIN_AXIS in mesh.axis_names:
+            chain_axes = (CHAIN_AXIS,)
+        else:
+            chain_axes = tuple(mesh.axis_names)
+    return tuple(chain_axes)
+
+
+def _chain_spec_element(chain_axes: tuple):
+    """PartitionSpec element for the chain dim: a bare name for one axis, a
+    tuple for a multi-axis (DCN x ICI) split."""
+    return chain_axes[0] if len(chain_axes) == 1 else tuple(chain_axes)
+
+
 def sharded_hmc_chain(
     key,
     model_fn: Optional[Callable] = None,
@@ -58,12 +76,17 @@ def sharded_hmc_chain(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
+    chain_axes=None,
 ):
-    """HMC with the chain batch sharded across ``mesh``'s chain axis.
+    """HMC with the chain batch sharded across ``mesh``'s chain axes.
 
-    ``n_chains`` is the GLOBAL chain count (must divide evenly by the mesh
-    size). Returns the same ``HMCResult`` as the single-chip driver with
-    global (n_chains, ...) arrays.
+    ``n_chains`` is the GLOBAL chain count (must divide evenly by the product
+    of the chain-axis sizes). ``chain_axes`` selects which mesh axes split
+    the batch — default: the ``CHAIN_AXIS`` if the mesh has one, otherwise
+    ALL axes (the DCN×ICI pod layout from ``make_pod_chain_mesh``, where
+    adaptation collectives reduce over hosts AND local devices). Returns the
+    same ``HMCResult`` as the single-chip driver with global (n_chains, ...)
+    arrays.
     """
     from ..inference.hmc import HMCConfig, HMCResult, make_hmc_drive
 
@@ -73,7 +96,9 @@ def sharded_hmc_chain(
         staged = stage(model_fn, *model_args)
     if mesh is None:
         mesh = make_chain_mesh()
-    n_dev = mesh.devices.size
+    chain_axes = _resolve_chain_axes(mesh, chain_axes)
+    ax_el = _chain_spec_element(chain_axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in chain_axes]))
     if n_chains % n_dev:
         raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
     per_shard = n_chains // n_dev
@@ -83,16 +108,16 @@ def sharded_hmc_chain(
 
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 7), 3)
     q0 = initial_positions(staged, k_init, n_chains, config.init)
-    q0 = jax.device_put(q0, chain_sharding(mesh, q0.ndim))
+    q0 = jax.device_put(q0, NamedSharding(mesh, P(ax_el, None)))
 
     drive = make_hmc_drive(
         staged, config, per_shard, n_samples, n_warmup,
-        discrete=discrete, chain_axis=CHAIN_AXIS,
+        discrete=discrete, chain_axis=ax_el,
     )
 
     def shard_fn(q0_local, k_eps, k_run):
         # distinct per-shard sampling streams, deterministic per layout
-        idx = jax.lax.axis_index(CHAIN_AXIS)
+        idx = flat_axis_index(mesh, chain_axes)
         k_run_local = jax.random.fold_in(k_run, idx)
         return drive(q0_local, k_eps, k_run_local)
 
@@ -100,14 +125,14 @@ def sharded_hmc_chain(
         mapped = _shard_map(
             shard_fn,
             mesh,
-            in_specs=(P(CHAIN_AXIS, None), P(), P()),
+            in_specs=(P(ax_el, None), P(), P()),
             out_specs=(
-                P(CHAIN_AXIS, None),          # q_f (chains, d)
-                P(None, CHAIN_AXIS, None),    # qs (n_samples, chains, d)
-                P(None, CHAIN_AXIS),          # ljs
-                P(None, CHAIN_AXIS),          # per-chain accept probs
-                P(None, CHAIN_AXIS),          # divergences
-                P(),                          # eps_final (consensus, replicated)
+                P(ax_el, None),          # q_f (chains, d)
+                P(None, ax_el, None),    # qs (n_samples, chains, d)
+                P(None, ax_el),          # ljs
+                P(None, ax_el),          # per-chain accept probs
+                P(None, ax_el),          # divergences
+                P(),                     # eps_final (consensus, replicated)
                 P(None,) if config.mass != "dense" else P(None, None),  # inv_mass
             ),
         )
@@ -116,7 +141,8 @@ def sharded_hmc_chain(
     from ..inference.hmc import constrain_positions
 
     jit_mapped = staged.cached_kernel(
-        ("sharded_hmc", config, n_chains, n_samples, n_warmup, id(mesh)),
+        ("sharded_hmc", config, n_chains, n_samples, n_warmup, id(mesh),
+         chain_axes),
         build_mapped,
     )
     q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = jit_mapped(q0, k_eps, k_run)
@@ -147,13 +173,15 @@ def sharded_nuts_chain(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
+    chain_axes=None,
 ):
-    """NUTS with the chain batch sharded across ``mesh``'s chain axis.
+    """NUTS with the chain batch sharded across ``mesh``'s chain axes.
 
     Same SPMD structure as ``sharded_hmc_chain``: per-shard tree building,
     cross-shard collectives for the warmup adaptation (dual-averaging
     acceptance pmean, initial-epsilon consensus, Welford mass merge), so
-    every device runs the identical adapted kernel."""
+    every device runs the identical adapted kernel. ``chain_axes`` defaults
+    to the ``CHAIN_AXIS`` when present, else all mesh axes (pod layout)."""
     from ..inference.nuts import NUTSConfig, NUTSResult, make_nuts_drive
 
     if config is None:
@@ -162,7 +190,9 @@ def sharded_nuts_chain(
         staged = stage(model_fn, *model_args)
     if mesh is None:
         mesh = make_chain_mesh()
-    n_dev = mesh.devices.size
+    chain_axes = _resolve_chain_axes(mesh, chain_axes)
+    ax_el = _chain_spec_element(chain_axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in chain_axes]))
     if n_chains % n_dev:
         raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
     per_shard = n_chains // n_dev
@@ -171,15 +201,15 @@ def sharded_nuts_chain(
 
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
     q0 = initial_positions(staged, k_init, n_chains, config.init)
-    q0 = jax.device_put(q0, chain_sharding(mesh, q0.ndim))
+    q0 = jax.device_put(q0, NamedSharding(mesh, P(ax_el, None)))
 
     drive = make_nuts_drive(
         staged, config, per_shard, n_samples, n_warmup,
-        discrete=discrete, chain_axis=CHAIN_AXIS,
+        discrete=discrete, chain_axis=ax_el,
     )
 
     def shard_fn(q0_local, k_eps, k_run):
-        idx = jax.lax.axis_index(CHAIN_AXIS)
+        idx = flat_axis_index(mesh, chain_axes)
         k_run_local = jax.random.fold_in(k_run, idx)
         return drive(q0_local, k_eps, k_run_local)
 
@@ -187,21 +217,22 @@ def sharded_nuts_chain(
         mapped = _shard_map(
             shard_fn,
             mesh,
-            in_specs=(P(CHAIN_AXIS, None), P(), P()),
+            in_specs=(P(ax_el, None), P(), P()),
             out_specs=(
-                P(CHAIN_AXIS, None),          # q_f (chains, d)
-                P(None, CHAIN_AXIS, None),    # qs (n_samples, chains, d)
-                P(None, CHAIN_AXIS),          # per-chain accept probs
-                P(None, CHAIN_AXIS),          # divergences
-                P(None, CHAIN_AXIS),          # tree depths
-                P(),                          # eps_final (consensus, replicated)
+                P(ax_el, None),          # q_f (chains, d)
+                P(None, ax_el, None),    # qs (n_samples, chains, d)
+                P(None, ax_el),          # per-chain accept probs
+                P(None, ax_el),          # divergences
+                P(None, ax_el),          # tree depths
+                P(),                     # eps_final (consensus, replicated)
                 P(None,) if config.mass != "dense" else P(None, None),
             ),
         )
         return jax.jit(mapped)
 
     jit_mapped = staged.cached_kernel(
-        ("sharded_nuts", config, n_chains, n_samples, n_warmup, id(mesh)),
+        ("sharded_nuts", config, n_chains, n_samples, n_warmup, id(mesh),
+         chain_axes),
         build_mapped,
     )
     q_f, qs, aps, divs, depths, eps_final, inv_mass_f = jit_mapped(q0, k_eps, k_run)
