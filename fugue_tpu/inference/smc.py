@@ -47,6 +47,62 @@ MAX_STAGES = 64  # safety net (reference: MAX_STEPS, smc.rs:499)
 BISECT_ITERS = 64  # reference: smc.rs:612-619
 
 
+def _ring_gather(latents_local, ancestors_global, axis_name, n_shards):
+    """Fetch particles by GLOBAL ancestor index over a bidirectional
+    ``ppermute`` ring — the particle pytree is never all-gathered
+    (SURVEY.md §7 hard part 4: cross-shard resampling without gathering all
+    particles to one device).
+
+    Each shard's output slot ``j`` needs global particle ``a_j``; only the
+    small (N,) weight vector was gathered to compute ``a_j``. Particle
+    blocks rotate around the ring in both directions simultaneously
+    (``D//2`` steps); each arriving block contributes the slots whose
+    ancestor lives in it via a masked local take. Peak memory is O(3·local
+    block); traffic is nearest-neighbor ICI, with no (N, ...) buffer ever
+    materialized on any device.
+    """
+    n_local = jax.tree_util.tree_leaves(latents_local)[0].shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    src_block = ancestors_global // n_local  # block holding each ancestor
+    pos = ancestors_global % n_local  # index within that block
+
+    def take_from(out, block, block_src):
+        sel = src_block == block_src  # (n_local,) bool
+
+        def upd(o, x):
+            v = jnp.take(x, pos, axis=0)
+            return jnp.where(sel.reshape(sel.shape + (1,) * (v.ndim - 1)), v, o)
+
+        return jax.tree_util.tree_map(upd, out, block)
+
+    out = jax.tree_util.tree_map(jnp.zeros_like, latents_local)
+    out = take_from(out, latents_local, idx)
+    if n_shards == 1:
+        return out
+
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
+
+    def body(t, carry):
+        out, buf_r, buf_l = carry
+        # buf_r rotated forward t times → holds block (idx - t)
+        buf_r = jax.lax.ppermute(buf_r, axis_name, fwd)
+        out = take_from(out, buf_r, (idx - t) % n_shards)
+        # buf_l rotated backward t times → holds block (idx + t); skip the
+        # final step for even D (it would duplicate block idx - D/2)
+        buf_l = jax.lax.ppermute(buf_l, axis_name, bwd)
+        out_l = take_from(out, buf_l, (idx + t) % n_shards)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(t <= (n_shards - 1) // 2, b, a), out, out_l
+        )
+        return out, buf_r, buf_l
+
+    out, _, _ = jax.lax.fori_loop(
+        1, n_shards // 2 + 1, body, (out, latents_local, latents_local)
+    )
+    return out
+
+
 @dataclass(frozen=True)
 class SMCConfig:
     """Reference: SMCConfig (smc.rs:172-189)."""
@@ -126,10 +182,13 @@ def adaptive_smc(
 ) -> SMCResult:
     """Likelihood-tempered adaptive SMC (reference driver: smc.rs:455-580).
 
-    ``mesh``: optional device mesh; the particle axis is then annotated with
-    a sharding constraint so XLA distributes particles and inserts the
-    collectives for weight/ESS reductions and resampling gathers
-    (parallel/sharded.py strategy 2)."""
+    ``mesh``: optional device mesh; the run then executes inside
+    ``shard_map`` with the particle axis sharded over the mesh's chain axis.
+    Per stage only the (N,) log-weight/log-likelihood VECTORS are gathered
+    (so the β bisection and systematic ancestor draw are bit-identical to
+    the single-device run); the particle pytree itself moves via a
+    nearest-neighbor ``ppermute`` ring and is never all-gathered
+    (``_ring_gather``; SURVEY.md §7 hard part 4)."""
     if staged is None:
         staged = stage(model_fn, *model_args)
     if config.rejuvenation == "hmc" and staged.discrete_sites:
@@ -143,19 +202,26 @@ def adaptive_smc(
     resampler = RESAMPLERS[config.resampling]
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as _P
         from ..parallel.mesh import CHAIN_AXIS as _CA
 
-        def shard_particles(tree):
-            def put(x):
-                spec = _P(_CA, *([None] * (jnp.ndim(x) - 1)))
-                return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, spec)
-                )
-
-            return jax.tree_util.tree_map(put, tree)
+        axis_name = _CA if _CA in mesh.axis_names else mesh.axis_names[0]
+        n_shards = int(mesh.shape[axis_name])
+        if N % n_shards:
+            raise ValueError(
+                f"n_particles={N} not divisible by mesh axis size {n_shards}"
+            )
     else:
-        shard_particles = lambda tree: tree
+        axis_name, n_shards = None, 1
+    n_local = N // n_shards
+
+    def gathered(x):
+        """(n_local,) shard vector → full (N,) vector (identity unsharded)."""
+        if axis_name is None:
+            return x
+        return jax.lax.all_gather(x, axis_name, tiled=True)
+
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name is not None else x
 
     def loglik(latents):
         parts = staged.log_density_parts(latents)
@@ -170,9 +236,12 @@ def adaptive_smc(
     def drive(k_init, k_loop):
         # Stage 0: prior particles, weights = 1/N; the prior cancels in the
         # importance weight so only (tempered) likelihood enters (FG-03).
-        latents0 = shard_particles(jax.vmap(staged.sample_prior)(chain_keys(k_init, N)))
-        ll0 = shard_particles(jax.vmap(loglik)(latents0))
-        log_w0 = shard_particles(jnp.zeros((N,), dt))
+        if axis_name is not None:
+            # distinct per-shard prior streams, deterministic per layout
+            k_init = jax.random.fold_in(k_init, jax.lax.axis_index(axis_name))
+        latents0 = jax.vmap(staged.sample_prior)(chain_keys(k_init, n_local))
+        ll0 = jax.vmap(loglik)(latents0)
+        log_w0 = jnp.zeros((n_local,), dt)
         adapt0 = AdaptationState.init(len(staged.sites), config.initial_scale)
 
         target_ess = config.ess_threshold * N
@@ -184,22 +253,36 @@ def adaptive_smc(
         def body(carry):
             latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = carry
             k, k_res, k_rej = jax.random.split(k, 3)
+            if axis_name is not None:
+                k_rej = jax.random.fold_in(
+                    k_rej, jax.lax.axis_index(axis_name)
+                )
 
-            beta_new = _next_beta(beta, log_w, ll, target_ess)
+            # the (N,) weight/log-lik VECTORS are gathered so bisection,
+            # evidence and ancestor draws replicate the single-device math
+            # exactly; the particle pytree itself is never gathered
+            lwg, llg = gathered(log_w), gathered(ll)
+            beta_new = _next_beta(beta, lwg, llg, target_ess)
             delta = beta_new - beta
 
             # unbiased log-evidence increment under current normalized
             # weights (FG-58): log sum_i wbar_i exp(delta*ll_i)
-            log_wbar = log_w - log_sum_exp(log_w)
-            log_z = log_z + log_sum_exp(log_wbar + delta * ll)
+            log_wbar = lwg - log_sum_exp(lwg)
+            log_z = log_z + log_sum_exp(log_wbar + delta * llg)
             log_w = log_w + delta * ll
 
             def resample_and_rejuvenate(args):
                 latents, log_w, ll, adapt_st = args
-                idx = resampler(k_res, log_w)
-                latents = jax.tree_util.tree_map(
-                    lambda x: jnp.take(x, idx, axis=0), latents
-                )
+                idx = resampler(k_res, lwg + delta * llg)
+                if axis_name is not None:
+                    # my output slots' global ancestors → ppermute ring fetch
+                    start = jax.lax.axis_index(axis_name) * n_local
+                    mine = jax.lax.dynamic_slice_in_dim(idx, start, n_local)
+                    latents = _ring_gather(latents, mine, axis_name, n_shards)
+                else:
+                    latents = jax.tree_util.tree_map(
+                        lambda x: jnp.take(x, idx, axis=0), latents
+                    )
                 log_w = jnp.zeros_like(log_w)
 
                 # pi_beta-invariant rejuvenation; weights untouched (FG-13)
@@ -219,12 +302,14 @@ def adaptive_smc(
                             log_density_fn=lambda l: tempered(l, beta_new),
                         )
 
-                    kks = jax.random.split(jax.random.fold_in(k_rej, m), N)
+                    kks = jax.random.split(
+                        jax.random.fold_in(k_rej, m), n_local
+                    )
                     new_states, accepted = jax.vmap(
                         one, in_axes=(MHState(latents=0, log_joint=0, adapt=None), 0)
                     )(states, kks)
-                    # cross-particle shared scale adaptation
-                    acc_mean = jnp.mean(accepted.astype(dt))
+                    # cross-particle (and cross-shard) shared scale adaptation
+                    acc_mean = pmean(jnp.mean(accepted.astype(dt)))
                     ones = jnp.ones((len(staged.sites),), dt) / len(staged.sites)
                     adapt_new = adapt_update(
                         adapt_st, ones, acc_mean, target=config.target_accept
@@ -252,14 +337,16 @@ def adaptive_smc(
 
                     zs = jax.vmap(staged.unconstrain)(latents)
                     eps = jnp.exp(adapt_st.log_scale[0])
-                    kks = jax.random.split(jax.random.fold_in(k_rej, m), N)
+                    kks = jax.random.split(
+                        jax.random.fold_in(k_rej, m), n_local
+                    )
                     z_new, info = jax.vmap(
                         lambda z, kk: hmc_transition(
                             u_beta, z, kk, eps, config.hmc_leapfrog,
                             jnp.ones((staged.dim,), dt),
                         )
                     )(zs, kks)
-                    acc_mean = jnp.mean(info.accept_prob)
+                    acc_mean = pmean(jnp.mean(info.accept_prob))
                     new_log_eps = adapt_st.log_scale.at[0].add(
                         0.5 * (acc_mean - 0.8)
                     )
@@ -308,7 +395,7 @@ def adaptive_smc(
             # zero-rejuvenation shortcut: single importance reweight by the
             # full likelihood (reference: smc.rs:484-493)
             log_w = ll0
-            log_z = log_sum_exp(log_w) - jnp.log(jnp.asarray(N, dt))
+            log_z = log_sum_exp(gathered(log_w)) - jnp.log(jnp.asarray(N, dt))
             return latents0, log_w, log_z, jnp.ones((), jnp.int32)
 
         latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = (
@@ -316,9 +403,27 @@ def adaptive_smc(
         )
         return latents, log_w, log_z, stage_i
 
+    def build_drive():
+        if mesh is None:
+            return jax.jit(drive)
+        from jax.sharding import PartitionSpec as _P
+        from ..parallel.sharded import _shard_map
+
+        latent_specs = {
+            s.address: _P(axis_name, *([None] * len(s.shape)))
+            for s in staged.sites
+        }
+        mapped = _shard_map(
+            drive,
+            mesh,
+            in_specs=(_P(), _P()),
+            out_specs=(latent_specs, _P(axis_name), _P(), _P()),
+        )
+        return jax.jit(mapped)
+
     jit_drive = staged.cached_kernel(
         ("smc_drive", N, config, None if mesh is None else id(mesh)),
-        lambda: jax.jit(drive),
+        build_drive,
     )
     latents, log_w, log_z, n_stages = jit_drive(k_init, k_loop)
     weights, _ = normalize_log_weights(log_w)

@@ -260,10 +260,12 @@ def sharded_smc(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
 ):
-    """Tempered SMC with the particle axis sharded via jit sharding
-    constraints: XLA inserts the psum/all-gather collectives for weight
-    reductions, ESS bisection, and cross-shard resampling gathers
-    (SURVEY.md §3.4 TPU translation)."""
+    """Tempered SMC inside ``shard_map`` with explicit collectives: per
+    stage only the (N,) weight/log-lik vectors are all-gathered (β
+    bisection + ancestor draw bit-identical to single-device); the particle
+    pytree moves via a nearest-neighbor ``ppermute`` ring and is NEVER
+    all-gathered (``inference.smc._ring_gather`` — SURVEY.md §7 hard part
+    4; SURVEY.md §3.4 TPU translation)."""
     from ..inference.smc import SMCConfig, adaptive_smc
 
     if config is None:

@@ -156,3 +156,100 @@ def test_sharded_nuts_posterior(mesh):
     assert 1 <= float(np.asarray(res.tree_depths).mean()) <= 6
     # chain axis spread over all 8 devices
     assert len(res.final_positions.sharding.device_set) == 8
+
+
+# ---------------------------------------------------------------------------
+# shard-local SMC resampling (VERDICT r1 item 4 / SURVEY §7 hard part 4)
+# ---------------------------------------------------------------------------
+
+
+def _hier_model():
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.normal(0.4, 1.0, (4, 6)))
+    mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+    tau = ft.sample("tau", ft.LogNormal(0.0, 0.5))
+    for i in range(4):
+        th = ft.sample(ft.addr("th", i), ft.Normal(mu, tau))
+        ft.observe(ft.addr("y", i), ft.Normal(th, 1.0), data[i])
+    return mu
+
+
+def test_sharded_smc_matches_single_device_logz(mesh):
+    """Sharded run must agree with the single-device run: the beta ladder
+    and evidence math run on gathered (N,) weight vectors, so stage counts
+    match exactly and logZ matches to float tolerance."""
+    from fugue_tpu.inference.smc import SMCConfig, adaptive_smc
+
+    cfg = SMCConfig(rejuvenation_steps=2)
+    res_s = adaptive_smc(jax.random.PRNGKey(7), 1024, _hier_model,
+                         cfg, mesh=mesh)
+    res_u = adaptive_smc(jax.random.PRNGKey(7), 1024, _hier_model, cfg)
+    assert res_s.n_stages == res_u.n_stages
+    assert res_s.log_evidence == pytest.approx(res_u.log_evidence, abs=0.5)
+    assert float(res_s.posterior_mean("mu")) == pytest.approx(
+        float(res_u.posterior_mean("mu")), abs=0.1
+    )
+
+
+def test_ring_gather_exact_vs_take(mesh):
+    """_ring_gather reproduces jnp.take(x, ancestors) exactly for any
+    ancestor assignment, on every tree leaf shape."""
+    from jax.sharding import PartitionSpec as P
+    from fugue_tpu.inference.smc import _ring_gather
+    from fugue_tpu.parallel.sharded import _shard_map
+
+    N, nloc = 64, 8
+    rng = np.random.default_rng(1)
+    tree = {
+        "a": jnp.asarray(rng.normal(size=(N,))),
+        "b": jnp.asarray(rng.normal(size=(N, 3))),
+    }
+    anc = jnp.asarray(rng.integers(0, N, size=(N,)))
+
+    def f(tree_local, anc_local):
+        return _ring_gather(tree_local, anc_local, CHAIN_AXIS, 8)
+
+    out = jax.jit(
+        _shard_map(
+            f, mesh,
+            in_specs=({"a": P(CHAIN_AXIS), "b": P(CHAIN_AXIS, None)},
+                      P(CHAIN_AXIS)),
+            out_specs={"a": P(CHAIN_AXIS), "b": P(CHAIN_AXIS, None)},
+        )
+    )(tree, anc)
+    np.testing.assert_array_equal(np.asarray(out["a"]),
+                                  np.asarray(tree["a"])[np.asarray(anc)])
+    np.testing.assert_array_equal(np.asarray(out["b"]),
+                                  np.asarray(tree["b"])[np.asarray(anc)])
+
+
+def test_sharded_smc_hlo_has_no_particle_allgather(mesh):
+    """The compiled sharded-SMC program must not all-gather the particle
+    pytree: the only all-gathers are the (N,) weight/log-lik vectors (and
+    scalar reductions). Particle movement is collective-permute."""
+    from fugue_tpu.inference.smc import SMCConfig, adaptive_smc
+
+    staged = ft.stage(_hier_model)
+    cfg = SMCConfig(rejuvenation_steps=1)
+    N = 1024
+    # warm the cache so the compiled executable is present
+    adaptive_smc(jax.random.PRNGKey(0), N, staged=staged, config=cfg,
+                 mesh=mesh)
+    jit_drive = staged._kernel_cache[("smc_drive", N, cfg, id(mesh))]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    hlo = jit_drive.lower(k1, k2).compile().as_text()
+    assert "collective-permute" in hlo  # the ring is actually in the program
+    import re
+
+    # every all-gather output must stay <= N f64 elements (weight vectors);
+    # a gathered particle pytree leaf would be N x trailing dims and appear
+    # as a larger gather, and multi-site models would gather d x N.
+    sizes = []
+    # HLO line shape: `%x = f64[1024]{0} all-gather(...)` — shape precedes op
+    for m in re.finditer(
+        r"=\s*[a-z0-9]+\[([0-9,]*)\][^=\n]*\ball-gather", hlo
+    ):
+        dims = [int(x) for x in m.group(1).split(",") if x]
+        sizes.append(int(np.prod(dims)) if dims else 1)
+    assert sizes, "expected some (small) all-gathers in the sharded program"
+    assert max(sizes) <= N, f"large all-gather found: {sizes}"
