@@ -82,3 +82,46 @@ def softplus(x):
 def inv_softplus(y):
     """Inverse of softplus; y must be positive."""
     return log_expm1(y)
+
+
+def compensated_sum(x, block: int = 4096):
+    """Blocked-Kahan full-array sum: near-f64 accuracy in f32, TPU-shaped.
+
+    The f32 accumulation policy for huge observation plates (SURVEY.md §7
+    hard part 5). Naive ``jnp.sum`` over 10^6 f32 log-probs carries
+    O(n·eps·|S|) worst-case error (~units of log-density at |S|≈10^6);
+    Kahan-compensating the whole array would serialize the reduction. This
+    does both levels right for the hardware: XLA reduces dense ``block``-
+    sized chunks at full VPU throughput (each partial's running magnitude —
+    and hence its rounding error — is ~n/block smaller than the total), then
+    a short ``lax.scan`` Kahan pass over the n/block partials removes the
+    accumulation error of the long dimension, leaving ~2·eps·|S| plus the
+    negligible in-block term.
+
+    Gradients flow through (all ops are linear; d/dx_i = 1 exactly), so it
+    is safe inside HMC/NUTS potentials. For arrays of ≤ ``block`` elements
+    it is exactly ``jnp.sum``.
+    """
+    x = jnp.ravel(x)
+    n = x.size
+    if n <= block:
+        return jnp.sum(x)
+    m = -(-n // block)
+    pad = m * block - n
+    if pad:
+        x = jnp.pad(x, (0, pad))
+    partials = jnp.sum(x.reshape(m, block), axis=1)
+
+    def neumaier(carry, v):
+        # Neumaier's variant of Kahan: also exact when |v| exceeds the
+        # running sum (classic Kahan drops the swamped term there)
+        s, c = carry
+        t = s + v
+        c = c + jnp.where(
+            jnp.abs(s) >= jnp.abs(v), (s - t) + v, (v - t) + s
+        )
+        return (t, c), None
+
+    zero = jnp.zeros((), partials.dtype)
+    (s, c), _ = jax.lax.scan(neumaier, (zero, zero), partials)
+    return s + c

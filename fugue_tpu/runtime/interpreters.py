@@ -37,6 +37,18 @@ from .handler import Handler
 from .trace import Choice, Trace, kind_of
 
 
+def _accum_sum(log_prob):
+    """Per-site log-prob reduction under the plate accumulation policy:
+    plain XLA reduce below settings.COMPENSATED_SUM_THRESHOLD, blocked-Kahan
+    compensated summation for huge plates (SURVEY.md §7 hard part 5)."""
+    from .. import settings
+    from ..core.numerics import compensated_sum
+
+    if jnp.ndim(log_prob) and jnp.size(log_prob) >= settings.compensated_sum_threshold():
+        return compensated_sum(log_prob)
+    return jnp.sum(log_prob)
+
+
 def _dist_kind(dist) -> str:
     if dist.support.kind == "boolean":
         return "bool"
@@ -58,7 +70,7 @@ class _RecordingHandler(Handler):
         self._seen.add(addr)
 
     def _record(self, addr, value, log_prob, support, observed):
-        lp_sum = jnp.sum(log_prob)
+        lp_sum = _accum_sum(log_prob)
         self.trace.insert_choice(
             addr, Choice(value=value, log_prob=lp_sum, support=support, is_observed=observed)
         )
@@ -71,7 +83,7 @@ class _RecordingHandler(Handler):
         return value
 
     def on_factor(self, log_weight):
-        self.trace.log_factors = self.trace.log_factors + jnp.sum(log_weight)
+        self.trace.log_factors = self.trace.log_factors + _accum_sum(log_weight)
 
     def finish(self) -> Trace:
         return self.trace
@@ -145,6 +157,61 @@ class ValuesHandler(_RecordingHandler):
         value = self.values[addr]
         lp = self._record(addr, value, dist.log_prob(value), dist.support, False)
         self.trace.log_prior = self.trace.log_prior + lp
+        return value
+
+
+class ConstrainHandler(_RecordingHandler):
+    """Replay with continuous latents given in UNCONSTRAINED space.
+
+    Each continuous sample site's z-array maps through the transform built
+    from the RUNTIME distribution instance (``unconstraining_transform``),
+    so supports that depend on traced parameters — ``Uniform(0, a)`` with
+    ``a`` an earlier site — use the CURRENT bounds and the exact Jacobian,
+    never values baked at staging discovery (VERDICT r1 item 6). The summed
+    log|J| accumulates on ``self.logdet``; the trace records constrained
+    values as usual, so one run yields density parts AND constrained
+    latents."""
+
+    def __init__(self, z_values: Dict[str, Any], other_values: Dict[str, Any]):
+        super().__init__()
+        self.z_values = z_values
+        self.other_values = other_values
+        self.logdet = 0.0
+
+    def on_sample(self, addr, dist, sample_shape):
+        self._check_duplicate(addr)
+        if addr in self.z_values:
+            t = dist.unconstraining_transform()
+            z = self.z_values[addr]
+            value = t.forward(z)
+            self.logdet = self.logdet + jnp.sum(t.log_det_jacobian(z))
+        elif addr in self.other_values:
+            value = self.other_values[addr]
+        else:
+            raise trace_address_not_found(addr)
+        lp = self._record(addr, value, dist.log_prob(value), dist.support, False)
+        self.trace.log_prior = self.trace.log_prior + lp
+        return value
+
+
+class UnconstrainHandler(ValuesHandler):
+    """Replay with CONSTRAINED latents, collecting each continuous site's
+    inverse image under the runtime transform (the exact inverse of
+    ``ConstrainHandler``, including dependent bounds)."""
+
+    def __init__(self, values: Dict[str, Any]):
+        super().__init__(values)
+        self.z_out: Dict[str, Any] = {}
+
+    def on_sample(self, addr, dist, sample_shape):
+        value = super().on_sample(addr, dist, sample_shape)
+        if dist.support.is_continuous:
+            from .. import settings
+
+            t = dist.unconstraining_transform()
+            self.z_out[addr] = t.inverse(
+                jnp.asarray(value, settings.real_dtype())
+            )
         return value
 
 

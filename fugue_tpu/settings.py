@@ -39,3 +39,24 @@ def int_dtype():
 def counting_dtype():
     """Dtype for unbounded counts (reference u64/i64 sites)."""
     return jnp.int64 if x64_enabled() else jnp.int32
+
+
+# Accumulation policy for large observation plates (SURVEY.md §7 hard part
+# 5): per-site log-prob sums of >= COMPENSATED_SUM_THRESHOLD elements use
+# blocked-Kahan compensated f32 summation (core.numerics.compensated_sum) —
+# error ~2·eps·|S| instead of O(n·eps·|S|), at the cost of one short scan
+# over n/4096 partials. Below the threshold a single XLA reduce is both
+# exact enough and fastest, so small/medium models pay nothing. Under x64
+# (CPU parity tests) accumulators are f64 and the compensation is merely
+# redundant. Override with FUGUE_TPU_COMPENSATED_SUM=<n> (0 disables).
+COMPENSATED_SUM_THRESHOLD = 1 << 16
+
+
+def compensated_sum_threshold() -> int:
+    import os
+
+    v = os.environ.get("FUGUE_TPU_COMPENSATED_SUM")
+    if v is None or v == "":
+        return COMPENSATED_SUM_THRESHOLD
+    n = int(v)
+    return n if n > 0 else (1 << 62)
