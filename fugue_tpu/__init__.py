@@ -45,6 +45,7 @@ from .core.distributions import (
     Categorical,
     Cauchy,
     ChiSquared,
+    Dirichlet,
     DiscreteUniform,
     Distribution,
     Exponential,

@@ -145,6 +145,18 @@ class Distribution:
     def _full_shape(self, sample_shape):
         return tuple(sample_shape) + self._batch_shape()
 
+    def unconstraining_transform(self):
+        """The bijector z ∈ R^k ↔ x ∈ support used by gradient-based kernels.
+
+        Built from the RUNTIME distribution instance at every replay, so
+        distributions whose support depends on traced parameters (e.g.
+        ``Uniform(0, a)`` with ``a`` an earlier sample) transform with the
+        CURRENT bounds — never with values baked at staging discovery.
+        Default: the static support-keyed transform."""
+        from .transforms import transform_for_support
+
+        return transform_for_support(self.support)
+
     def __repr__(self):
         params = ", ".join(f"{v}" for v in self._params())
         return f"{type(self).__name__}({params})"
@@ -195,7 +207,7 @@ class Uniform(Distribution):
     def __init__(self, low, high):
         check_finite("low", low, ErrorCode.INVALID_RANGE)
         check_finite("high", high, ErrorCode.INVALID_RANGE)
-        from ..errors import ValidationError, _is_concrete
+        from ..errors import ValidationError, _is_concrete, _is_python_static
         import numpy as np
 
         if _is_concrete(low) and _is_concrete(high):
@@ -205,6 +217,14 @@ class Uniform(Distribution):
                     "low must be < high",
                     {"low": low, "high": high},
                 )
+        # the support's STATIC bounds are recorded only for Python/numpy
+        # values. A concrete jax.Array is NOT static: during eager staging
+        # discovery, a bound computed from an earlier site's draw is a
+        # concrete device array, and baking it would freeze the discovery
+        # draw into the site table (the dependent-bound bug, VERDICT r1
+        # item 6). Unknown-bound sites still transform exactly — the
+        # runtime AffineSigmoid below uses the live bounds at every replay.
+        if _is_python_static(low) and _is_python_static(high):
             self.support = interval(float(np.min(np.asarray(low))), float(np.max(np.asarray(high))))
         else:
             self.support = interval(None, None)  # bounds only known at trace time
@@ -215,6 +235,14 @@ class Uniform(Distribution):
     def unit() -> "Uniform":
         """Infallible U(0,1) (reference: distribution.rs:284)."""
         return Uniform(0.0, 1.0)
+
+    def unconstraining_transform(self):
+        """AffineSigmoid with the distribution's OWN (possibly traced,
+        possibly per-element array) bounds — exact for dependent-bound
+        models like ``Uniform(0, a)`` (VERDICT r1 item 6)."""
+        from .transforms import AffineSigmoid
+
+        return AffineSigmoid(self.low, self.high)
 
     def _params(self):
         return (self.low, self.high)
@@ -777,6 +805,11 @@ class Dirichlet(Distribution):
 
     def _params(self):
         return (self.concentration,)
+
+    def unconstraining_transform(self):
+        from .transforms import StickBreaking
+
+        return StickBreaking(self.support.size)
 
     def _batch_shape(self):
         return jnp.shape(self.concentration)[:-1]

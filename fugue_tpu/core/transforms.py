@@ -77,11 +77,17 @@ class Sigmoid(Transform):
 
 
 class AffineSigmoid(Transform):
-    """R → (low, high): x = low + (high-low)·σ(z)."""
+    """R → (low, high): x = low + (high-low)·σ(z).
+
+    ``low``/``high`` may be Python floats, per-element arrays, or traced
+    values (dependent bounds, e.g. ``Uniform(0, a)``): every op below is
+    elementwise-broadcasting, and the caller (ConstrainHandler) rebuilds the
+    transform from the runtime distribution at each replay so the Jacobian
+    always uses the current bounds."""
 
     name = "affine_sigmoid"
 
-    def __init__(self, low: float, high: float):
+    def __init__(self, low, high):
         self.low = low
         self.high = high
 
@@ -168,9 +174,14 @@ class StickBreaking(Transform):
 def transform_for_support(support: Support) -> Transform:
     """Pick the unconstraining transform for a continuous support.
 
-    Interval supports with bounds unknown at staging time (traced parameters)
-    fall back to Identity — the reference-compatible mode where the kernel
-    relies on -inf rejection at the boundary (hmc.rs:62-66).
+    This is the STATIC fallback keyed on support kind; distributions with
+    runtime parameters in their support override
+    ``Distribution.unconstraining_transform`` so the transform is rebuilt
+    from the live parameters at every replay (ConstrainHandler). Interval
+    supports with bounds unknown statically fall back to Identity here — the
+    reference-compatible -inf-rejection mode (hmc.rs:62-66) — but the only
+    distribution producing them (Uniform) overrides with a runtime
+    AffineSigmoid, so this branch is a safety net for custom distributions.
     """
     if support.kind == "real":
         return Identity()
@@ -182,4 +193,6 @@ def transform_for_support(support: Support) -> Transform:
         if support.low is not None and support.high is not None:
             return AffineSigmoid(support.low, support.high)
         return Identity()
+    if support.kind == "simplex":
+        return StickBreaking(support.size)
     return Identity()

@@ -192,6 +192,25 @@ def _is_concrete(x: Any) -> bool:
     return False
 
 
+def _is_python_static(x: Any) -> bool:
+    """True only for Python/numpy values — NOT jax.Arrays. Used where a
+    value must be a build-time constant (e.g. static support bounds): a
+    concrete device array may be derived from another site's draw during
+    eager staging discovery, so it cannot be trusted as static."""
+    if isinstance(x, (bool, int, float)):
+        return True
+    try:
+        import numpy as np
+
+        if isinstance(x, (np.ndarray, np.generic)):
+            return True
+        if isinstance(x, (list, tuple)):
+            return np.asarray(x).dtype != object
+    except Exception:
+        pass
+    return False
+
+
 def _all_finite(x: Any) -> bool:
     import numpy as np
 

@@ -77,10 +77,9 @@ def gibbs_chain(
         return staged.potential(z, disc)
 
     def full_log_joint(z, disc):
-        cont, logdet = staged.constrain(z)
-        latents = dict(cont)
-        latents.update(disc)
-        return staged.log_joint(latents) + logdet
+        # one fused replay: transforms built from runtime dists (exact for
+        # dependent bounds), density + Jacobian in a single model run
+        return staged.log_joint_unconstrained(z, disc)
 
     def init_one(k):
         latents = staged.sample_prior(k)

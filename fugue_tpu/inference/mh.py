@@ -183,7 +183,7 @@ def _packed_meta(staged: StagedModel):
     meta = getattr(staged, "_mh_packed_meta", None)
     if meta is not None:
         return meta
-    dim = staged.dim
+    dim = staged.constrained_dim
     site_of = np.zeros(dim, np.int32)
     is_pos = np.zeros(dim, bool)
     is_int = np.zeros(dim, bool)
@@ -243,12 +243,12 @@ def mh_step(
     proposed: Dict[str, Any] = dict(state.latents)
     hastings = jnp.zeros((), settings.real_dtype())
 
-    if staged.dim > 0:
+    if staged.constrained_dim > 0:
         site_of, is_pos, is_int, lo, hi = _packed_meta(staged)
         z = staged.flatten_constrained(state.latents)
         dt = z.dtype
         s_coord = scales[site_of]  # static-index gather: per-coordinate scale
-        eps = jax.random.normal(k_cont, (staged.dim,), dt)
+        eps = jax.random.normal(k_cont, (staged.constrained_dim,), dt)
         width = jnp.asarray(np.where(is_int, hi - lo, 1.0), dt)
         cand = z + s_coord * width * eps  # Gaussian walk (mh.rs:181)
         # log-space walk for positive supports (mh.rs:199-224)

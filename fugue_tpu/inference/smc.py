@@ -326,9 +326,8 @@ def adaptive_smc(
                     latents, adapt_st = inner
 
                     def u_beta(z):
-                        cont, logdet = staged.constrain(z)
-                        parts = staged.log_density_parts(
-                            staged.merge_discrete(cont)
+                        parts, logdet = (
+                            staged.log_density_parts_unconstrained(z)
                         )
                         return -(
                             parts.log_prior + logdet
