@@ -1,0 +1,92 @@
+"""Parallel tempering (replica exchange): exactness + multimodal mixing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fugue_tpu as ft
+from fugue_tpu.inference.hmc import hmc_chain
+from fugue_tpu.inference.mcmc_utils import split_r_hat
+from fugue_tpu.inference.tempering import PTConfig, geometric_ladder, pt_chain
+
+
+def coin_model():
+    obs = jnp.array([1] * 12 + [0] * 7, dtype=bool)
+    p = ft.sample("p", ft.Beta(2.0, 3.0))
+    ft.observe("obs", ft.Bernoulli(p), obs)
+    return p
+
+
+def bimodal_model():
+    """Two well-separated modes at ±4 with weights 0.3/0.7 — the barrier is
+    ~e^-8 deep, so single-temperature HMC cannot cross it in any realistic
+    run, while the hot rungs (β ≈ 0.02 flattens the barrier to ~e^-0.16)
+    ferry states across."""
+    x = ft.sample("x", ft.Normal(0.0, 10.0))
+    comp = jnp.logaddexp(
+        jnp.log(0.3) + ft.Normal(-4.0, 0.4).log_prob(x),
+        jnp.log(0.7) + ft.Normal(4.0, 0.4).log_prob(x),
+    )
+    # factor in the mixture likelihood, cancel the broad instrumental prior
+    ft.factor(comp - ft.Normal(0.0, 10.0).log_prob(x))
+    return x
+
+
+def test_geometric_ladder():
+    b = np.asarray(geometric_ladder(5, 0.02))
+    assert b[-1] == pytest.approx(1.0)
+    assert b[0] == pytest.approx(0.02)
+    ratios = b[1:] / b[:-1]
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-6)
+
+
+def test_pt_exact_on_conjugate_posterior():
+    """Whatever the ladder, the β=1 marginal is the exact posterior:
+    Beta(2,3) + 12/7 coin flips → mean 14/24."""
+    res = pt_chain(
+        jax.random.PRNGKey(0), coin_model, n_samples=600, n_warmup=400,
+        config=PTConfig(n_temps=4, n_leapfrog=8), n_chains=16,
+    )
+    ps = np.asarray(res.samples["p"])
+    assert ps.shape == (16, 600)
+    assert ps.mean() == pytest.approx(14 / 24, abs=0.012)
+    assert float(split_r_hat(ps[:8])) < 1.05
+
+
+def test_pt_mixes_bimodal_where_hmc_cannot():
+    key = jax.random.PRNGKey(1)
+    res = pt_chain(
+        key, bimodal_model, n_samples=1500, n_warmup=500,
+        config=PTConfig(n_temps=8, beta_min=0.02, n_leapfrog=12),
+        n_chains=16,
+    )
+    xs = np.asarray(res.samples["x"]).ravel()
+    w_right = float(np.mean(xs > 0))
+    assert w_right == pytest.approx(0.7, abs=0.06)
+    assert xs.mean() == pytest.approx(0.7 * 4 + 0.3 * (-4), abs=0.35)
+    # swaps actually happen on every rung pair
+    assert np.all(np.asarray(res.swap_rate) > 0.05)
+
+    # contrast: plain HMC stays frozen in single modes — per-chain sign never
+    # flips, so the cross-chain R-hat blows up
+    hres = hmc_chain(
+        jax.random.fold_in(key, 1), bimodal_model, n_samples=1500,
+        n_warmup=500, n_chains=16,
+    )
+    hx = np.asarray(hres.samples["x"])
+    flips = np.mean(np.any(hx > 0, axis=1) & np.any(hx < 0, axis=1))
+    assert flips < 0.2  # (the barrier really is impassable for HMC)
+    assert float(split_r_hat(np.asarray(res.samples["x"])[:8])) < 1.05
+
+
+def test_pt_per_rung_adaptation():
+    """Hot rungs should adapt to LARGER step sizes than the cold rung."""
+    res = pt_chain(
+        jax.random.PRNGKey(2), coin_model, n_samples=200, n_warmup=400,
+        config=PTConfig(n_temps=6), n_chains=16,
+    )
+    eps = np.asarray(res.step_size)
+    assert eps[0] > eps[-1]  # β=0.02 rung steps bigger than β=1
+    acc = np.asarray(res.accept_prob)
+    assert np.all(acc > 0.5)  # every rung adapted to a healthy acceptance
