@@ -217,6 +217,35 @@ def bench_nuts():
     d = staged.dim
     ref_rate = 1.0 / (33 * 2 * d * REF_MODEL_RUN_SEC * (d / 20.0))
     trans_rate = n_chains * (n_warmup + n_samples) / elapsed
+
+    # roofline accounting (VERDICT r1 item 8): leapfrogs per transition =
+    # 2^depth - 1 from the recorded sampling-phase tree depths (warmup
+    # approximated at the same mean); FLOPs per gradient from XLA's cost
+    # model of the batched value_and_grad
+    depths = np.asarray(res.tree_depths)
+    leapfrogs_per_trans = float(np.mean(2.0**depths - 1.0))
+    grad_evals = n_chains * (n_warmup + n_samples) * (leapfrogs_per_trans + 1)
+    extras = {}
+    try:
+        vg = jax.jit(jax.vmap(jax.value_and_grad(
+            lambda z: staged.potential(z, None))))
+        q = jnp.zeros((n_chains, staged.dim), jnp.float32)
+        ca = vg.lower(q).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_grad = float(ca.get("flops", 0.0))
+        if flops_per_grad:
+            achieved = flops_per_grad / n_chains * grad_evals / elapsed
+            extras = {
+                "grad_evals_per_sec": round(grad_evals / elapsed, 1),
+                "flops_per_sec": round(achieved, 1),
+                "pct_v5e_bf16_peak": round(
+                    100 * achieved / V5E_PEAK_BF16_FLOPS, 4
+                ),
+            }
+    except Exception:
+        pass
+
     return {
         "submetric": "nuts_ess_per_sec_eight_schools_1024chains",
         "value": round(ess / elapsed, 1),
@@ -224,9 +253,10 @@ def bench_nuts():
         "vs_baseline": round(trans_rate / ref_rate, 2),
         "wall_s": round(elapsed, 4),
         "transitions_per_sec": round(trans_rate, 1),
-        "mean_tree_depth": round(float(np.asarray(res.tree_depths).mean()), 3),
+        "mean_tree_depth": round(float(depths.mean()), 3),
         "r_hat": round(float(split_r_hat(mus)), 5),
         "divergence_rate": round(float(np.asarray(res.divergences).mean()), 5),
+        **extras,
     }
 
 

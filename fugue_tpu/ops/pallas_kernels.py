@@ -43,15 +43,23 @@ def enable_pallas(on: Optional[bool]) -> None:
 
 
 def pallas_active() -> bool:
+    """Default OFF — keep-or-kill by measurement went to XLA.
+
+    On-chip probes (benchmarks/PALLAS_PROBE.json, 2026-08-20, v5e;
+    scripts/probe_pallas_kernels.py + probe_pallas_resample.py) measured
+    every kernel at or below XLA: plogsumexp 0.70-0.97x, pnormal_loglik_sum
+    fwd 0.73-1.05x / grad 0.65-0.87x (with worse f32 drift at 2^24:
+    |err| 92 vs XLA's reduction), systematic resample 0.75x. The reference's
+    bench discipline (f_perf.rs:56-66) deletes what measurement doesn't
+    justify; the kernels stay available behind FUGUE_TPU_PALLAS=1 /
+    enable_pallas(True) with interpret-mode correctness tests, as the
+    VMEM-control option for future regimes XLA handles poorly."""
     if _FORCED is not None:
         return _FORCED
     env = os.environ.get("FUGUE_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "off")
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return False
 
 
 def _pad_to(x, multiple, fill):

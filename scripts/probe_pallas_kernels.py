@@ -69,9 +69,9 @@ def main():
             )
 
         g_pallas = jax.jit(jax.grad(
-            lambda m: pk.pnormal_loglik_sum(m, sigma, y)))
+            lambda m: pk.pnormal_loglik_sum(y, m, sigma)))
         g_xla = jax.jit(jax.grad(lambda m: xla_loglik(m, sigma, y)))
-        f_pl = jax.jit(lambda m: pk.pnormal_loglik_sum(m, sigma, y))
+        f_pl = jax.jit(lambda m: pk.pnormal_loglik_sum(y, m, sigma))
         f_xl = jax.jit(lambda m: xla_loglik(m, sigma, y))
         rec = {
             "kernel": "pnormal_loglik_sum",
