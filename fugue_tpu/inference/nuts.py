@@ -75,6 +75,11 @@ class NUTSConfig:
     # single compiled scan. None → auto: "chunked" on TPU backends,
     # "while" elsewhere.
     loop: Optional[str] = None
+    # sampling-phase loop for the async drive: "ring" (default) records
+    # asynchronously via per-chain ring staging + min-clock row emission —
+    # each chain pays its OWN tree sizes; "lockstep" scans one batch-wide
+    # chunked tree build per transition (every chain pays the batch max).
+    sampling_loop: Optional[str] = None
 
 
 def _popcount(n):
@@ -590,11 +595,15 @@ def make_nuts_drive_async(
             eps=s["eps"],
         )
 
-    def advance_chain(s, t, q_cur, u_cur, g_cur, n_phase, eps_shared, inv_mass):
+    def advance_chain(s, t, q_cur, u_cur, g_cur, n_phase, eps_shared,
+                      inv_mass, t_allowed):
         """One loop iteration for a single chain: one leapfrog, then — if
         the transition terminated — emit the candidate and restart a fresh
-        tree from it. Chains past ``n_phase`` transitions idle (masked)."""
-        active = t < n_phase
+        tree from it. Chains past ``n_phase`` transitions idle (masked);
+        ``t_allowed`` is the ring-recorder backpressure bound (chains more
+        than one ring of transitions ahead of the slowest stall so their
+        staged samples are never overwritten before recording)."""
+        active = (t < n_phase) & (t < t_allowed)
         s1 = leaf_step(s, inv_mass)
         completed = active & (s1["stop"] | (s1["depth"] >= max_depth))
         accept_stat = jnp.where(
@@ -624,7 +633,7 @@ def make_nuts_drive_async(
         return s_out, t_new, q_new, u_new, g_new, stats
 
     v_advance = jax.vmap(
-        advance_chain, in_axes=(0, 0, 0, 0, 0, None, None, None)
+        advance_chain, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
     )
 
     def run_phase(q, u, g, ema, key, da, welford, inv_mass, n_phase):
@@ -664,6 +673,7 @@ def make_nuts_drive_async(
             S2, t2, q2, u2, g2, stats = v_advance(
                 c["S"], c["t"], c["q"], c["u"], c["g"],
                 n_phase, eps_shared, inv_mass,
+                jnp.asarray(n_phase, jnp.int32),  # no ring backpressure
             )
             completed = stats["completed"]
             comp_f = completed.astype(dt)
@@ -709,6 +719,113 @@ def make_nuts_drive_async(
         )
         stuck = ema < 0.1
         return jnp.where(stuck[:, None], q[donors], q)
+
+    K_RING = 8  # per-chain staging depth; spread of transition clocks is
+    # O(sqrt(mean tree size)) per window, so 8 rarely stalls anyone
+
+    def pmin_if_sharded(x):
+        if chain_axis is not None:
+            return jax.lax.pmin(x, chain_axis)
+        return x
+
+    def run_sampling_ring(q, u, g, key, eps_final, inv_mass):
+        """Asynchronous SAMPLING phase with ring-buffer recording.
+
+        The lock-step sampling build pays the per-transition MAX tree size
+        over the chain batch (~max_leaves leapfrogs at 1024 lanes, vs mean
+        ~2^depth̄); a naive async recorder needs a variable-row scatter per
+        leapfrog (measured 60-400 µs/iter — the reason warmup-only async
+        shipped first). This phase gets async cost with scatter-free
+        recording: each completed transition stages its sample in a small
+        per-chain ring (masked one-hot write over K_RING slots, elementwise
+        and cheap), and once EVERY chain's transition clock has passed row
+        ``s`` — the min-clock, one global reduction — row ``s`` is emitted
+        with a single ``dynamic_update_slice`` (in-place on the loop-carried
+        output buffer; at most one row per iteration, which outpaces the
+        ~1/mean-tree-size per-iteration row completion rate). Chains more
+        than K_RING transitions ahead of the recorder stall (backpressure in
+        ``advance_chain``), so staged samples are never overwritten."""
+        keys = chain_keys(key, n_chains)
+        rc0 = jnp.zeros((n_chains, max_depth + 1, d), dt)
+        v_fresh = jax.vmap(
+            fresh_tree, in_axes=(0, 0, 0, 0, None, 0, 0, None)
+        )
+        S0 = v_fresh(q, u, g, keys, eps_final, rc0, rc0, inv_mass)
+        slot_ar = jnp.arange(K_RING, dtype=jnp.int32)
+
+        carry0 = dict(
+            S=S0,
+            t=jnp.zeros((n_chains,), jnp.int32),
+            q=q, u=u, g=g,
+            ring_q=jnp.zeros((n_chains, K_RING, d), dt),
+            ring_a=jnp.zeros((n_chains, K_RING), dt),
+            ring_div=jnp.zeros((n_chains, K_RING), bool),
+            ring_dep=jnp.zeros((n_chains, K_RING), jnp.int32),
+            rows=jnp.zeros((), jnp.int32),
+            qs=jnp.zeros((n_samples, n_chains, d), dt),
+            aps=jnp.zeros((n_samples, n_chains), dt),
+            divs=jnp.zeros((n_samples, n_chains), bool),
+            deps=jnp.zeros((n_samples, n_chains), jnp.int32),
+        )
+
+        def body_iter(c, _):
+            t_allowed = c["rows"] + K_RING
+            S2, t2, q2, u2, g2, stats = v_advance(
+                c["S"], c["t"], c["q"], c["u"], c["g"],
+                n_samples, eps_final, inv_mass, t_allowed,
+            )
+            completed = stats["completed"]  # (chains,)
+            # stage completed samples: transition #t lands in slot t % K
+            hit = completed[:, None] & (
+                (c["t"] % K_RING)[:, None] == slot_ar[None, :]
+            )  # (chains, K)
+            ring_q = jnp.where(hit[:, :, None], q2[:, None, :], c["ring_q"])
+            ring_a = jnp.where(
+                hit, stats["accept_stat"][:, None], c["ring_a"]
+            )
+            ring_div = jnp.where(
+                hit, stats["diverging"][:, None], c["ring_div"]
+            )
+            ring_dep = jnp.where(hit, stats["depth"][:, None], c["ring_dep"])
+
+            # emit row `rows` once every chain's clock has passed it
+            min_t = pmin_if_sharded(jnp.min(t2))
+            can = (c["rows"] < n_samples) & (min_t > c["rows"])
+            read = c["rows"] % K_RING
+            idx = jnp.minimum(c["rows"], n_samples - 1)
+
+            def emit(buf, ring_col):
+                zero = jnp.zeros_like(idx)
+                starts = (idx,) + (zero,) * (buf.ndim - 1)
+                cur = jax.lax.dynamic_slice(buf, starts, (1,) + buf.shape[1:])
+                newr = jnp.where(
+                    can, ring_col[None].astype(buf.dtype), cur
+                )
+                return jax.lax.dynamic_update_slice(buf, newr, starts)
+
+            qs = emit(c["qs"], jnp.take(ring_q, read, axis=1))
+            aps = emit(c["aps"], jnp.take(ring_a, read, axis=1))
+            divs = emit(c["divs"], jnp.take(ring_div, read, axis=1))
+            deps = emit(c["deps"], jnp.take(ring_dep, read, axis=1))
+            rows2 = c["rows"] + can.astype(jnp.int32)
+            return dict(
+                S=S2, t=t2, q=q2, u=u2, g=g2,
+                ring_q=ring_q, ring_a=ring_a, ring_div=ring_div,
+                ring_dep=ring_dep, rows=rows2,
+                qs=qs, aps=aps, divs=divs, deps=deps,
+            ), None
+
+        def chunk_body(c):
+            c, _ = jax.lax.scan(body_iter, c, None, length=chunk)
+            return c
+
+        final = jax.lax.while_loop(
+            lambda c: c["rows"] < n_samples, chunk_body, carry0
+        )
+        return (
+            final["q"], final["qs"], final["aps"], final["divs"],
+            final["deps"],
+        )
 
     def drive(q0, k_eps, k_run):
         if config.step_size is not None:
@@ -757,14 +874,18 @@ def make_nuts_drive_async(
             else jnp.exp(da_w.log_eps)
         )
 
-        # SAMPLING: lock-step chunked tree build scanned over transitions —
-        # lax.scan stacks the per-transition outputs for free, where the
-        # async loop would need a variable-row scatter per leapfrog (the
-        # measured bottleneck). The lock-step build pays the per-transition
-        # max tree size over chains, but with the one-hot checkpoint stack
-        # its per-leapfrog cost is a few microseconds at 1024 chains, so
-        # warmup (async, adaptation-heavy) + sampling (lock-step, record-
-        # heavy) is the fastest composition measured on the chip.
+        # SAMPLING: ring-recorded async by default — each chain pays its
+        # OWN total tree size and rows are emitted scatter-free via the
+        # min-clock dynamic_update_slice (run_sampling_ring). The previous
+        # lock-step chunked build (every transition pays the batch-max tree
+        # size) remains behind sampling_loop="lockstep" as the fallback.
+        if (config.sampling_loop or "ring") == "ring":
+            q_f, qs, aps, divs, depths = run_sampling_ring(
+                q_w, u_w, g_w, jax.random.fold_in(k_run, 2),
+                eps_final, inv_mass_f,
+            )
+            return q_f, qs, aps, divs, depths, eps_final, inv_mass_f
+
         vstep = jax.vmap(
             lambda q, k, eps, im: nuts_transition(
                 potential, q, k, eps, im, max_depth,

@@ -219,3 +219,33 @@ def test_loop_modes_bitwise_identical():
                 np.testing.assert_array_equal(
                     outs[mode][1][k], outs["while"][1][k], err_msg=f"{mode}:{k}"
                 )
+
+
+def test_ring_and_lockstep_sampling_agree():
+    """The ring-recorded async sampling phase and the lock-step chunked
+    build target the same kernel: both must recover the conjugate
+    posterior, and per-chain sample rows must be finite and ordered."""
+    import fugue_tpu as ft
+    from fugue_tpu.inference.nuts import NUTSConfig, nuts_chain
+
+    def coin():
+        obs = jnp.array([1] * 12 + [0] * 7, dtype=bool)
+        p = ft.sample("p", ft.Beta(2.0, 3.0))
+        ft.observe("obs", ft.Bernoulli(p), obs)
+        return p
+
+    staged = ft.stage(coin)
+    means = {}
+    for mode in ("ring", "lockstep"):
+        res = nuts_chain(
+            jax.random.PRNGKey(4), staged=staged, n_samples=600,
+            n_warmup=400, n_chains=16,
+            config=NUTSConfig(sampling_loop=mode),
+        )
+        ps = np.asarray(res.samples["p"])
+        assert ps.shape == (16, 600)
+        assert np.isfinite(ps).all()
+        means[mode] = ps.mean()
+    assert means["ring"] == pytest.approx(14 / 24, abs=0.015)
+    assert means["lockstep"] == pytest.approx(14 / 24, abs=0.015)
+    assert means["ring"] == pytest.approx(means["lockstep"], abs=0.02)
