@@ -144,6 +144,7 @@ from .inference.mcmc_utils import (
     ess_multichain,
     geweke,
     r_hat,
+    rank_normalized_split_r_hat,
     split_r_hat,
 )
 from .inference.validation import (

@@ -141,6 +141,46 @@ def split_r_hat(chains):
     return r_hat(split)
 
 
+def _rank_normalize(chains):
+    """Map pooled draws to normal scores: r_i = rank over ALL chains'
+    draws, z_i = Phi^-1((r_i - 3/8) / (S + 1/4)) (Blom offsets; Vehtari
+    et al. 2021 eq. 14). Vectorized argsort-of-argsort ranking, jit-safe."""
+    from jax.scipy.special import ndtri
+
+    x = jnp.asarray(chains, jnp.result_type(chains, jnp.float32))
+    shape = x.shape
+    flat = x.reshape(shape[:-2] + (shape[-2] * shape[-1],))
+    order = jnp.argsort(flat, axis=-1)
+    ranks = jnp.argsort(order, axis=-1).astype(flat.dtype) + 1.0
+    s = flat.shape[-1]
+    z = ndtri((ranks - 0.375) / (s + 0.25))
+    return z.reshape(shape)
+
+
+def rank_normalized_split_r_hat(chains):
+    """Rank-normalized split-R̂ (Vehtari, Gelman, Simpson, Carpenter &
+    Bürkner 2021) — the modern convergence standard, robust where the
+    classic statistic is blind:
+
+    - **bulk-R̂**: split-R̂ of the rank-normal scores — heavy tails or
+      infinite variance cannot fake convergence;
+    - **tail-R̂**: split-R̂ of the rank-normal scores of the FOLDED draws
+      |x − median| — catches chains agreeing in location but not scale.
+
+    Beyond-parity addition (the reference implements the 2021 *split*
+    statistic only, diagnostics.rs:218-259). Returns
+    ``max(bulk, tail)`` — the paper's recommended reporting value;
+    ``chains``: (..., m, n) → (...,).
+    """
+    x = jnp.asarray(chains, jnp.result_type(chains, jnp.float32))
+    bulk = split_r_hat(_rank_normalize(x))
+    med = jnp.median(
+        x.reshape(x.shape[:-2] + (-1,)), axis=-1
+    )[..., None, None]
+    tail = split_r_hat(_rank_normalize(jnp.abs(x - med)))
+    return jnp.maximum(bulk, tail)
+
+
 # ---------------------------------------------------------------------------
 # Geweke diagnostic (reference: mcmc_utils.rs:354-421, FG-39)
 # ---------------------------------------------------------------------------

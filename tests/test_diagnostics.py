@@ -169,3 +169,58 @@ def test_geyer_truncation_on_negative_pairs():
     e = float(mu.ess(x))
     # anti-correlated chain is super-efficient; capped at n
     assert e > 3500
+
+
+# ---------------------------------------------------------------------------
+# rank-normalized split-R-hat (Vehtari et al. 2021; beyond-parity)
+# ---------------------------------------------------------------------------
+
+
+def test_rank_rhat_converged_chains_near_one():
+    from fugue_tpu.inference.mcmc_utils import rank_normalized_split_r_hat
+
+    rng = np.random.default_rng(0)
+    chains = jnp.asarray(rng.normal(0.0, 1.0, (8, 2000)))
+    r = float(rank_normalized_split_r_hat(chains))
+    assert 0.99 < r < 1.01
+
+
+def test_rank_rhat_catches_location_shift():
+    from fugue_tpu.inference.mcmc_utils import rank_normalized_split_r_hat
+
+    rng = np.random.default_rng(1)
+    chains = np.asarray(rng.normal(0.0, 1.0, (8, 1000)))
+    chains[:4] += 1.5
+    r = float(rank_normalized_split_r_hat(jnp.asarray(chains)))
+    assert r > 1.1
+
+
+def test_rank_rhat_catches_scale_mismatch_where_classic_is_blind():
+    """Chains with the same mean but different variances: classic split-R-hat
+    stays near 1 (between-chain MEAN variance is zero) while the folded
+    tail-R-hat flags the failure (the 2021 paper's motivating case)."""
+    from fugue_tpu.inference.mcmc_utils import (
+        rank_normalized_split_r_hat,
+        split_r_hat,
+    )
+
+    rng = np.random.default_rng(2)
+    chains = np.empty((8, 2000))
+    chains[:4] = rng.normal(0.0, 1.0, (4, 2000))
+    chains[4:] = rng.normal(0.0, 4.0, (4, 2000))
+    classic = float(split_r_hat(jnp.asarray(chains)))
+    ranked = float(rank_normalized_split_r_hat(jnp.asarray(chains)))
+    assert classic < 1.05  # blind
+    assert ranked > 1.15  # caught by the folded tail statistic
+
+
+def test_rank_rhat_robust_to_heavy_tails():
+    """Cauchy draws: the classic statistic is dominated by single extreme
+    draws and becomes noise; the rank statistic stays calibrated near 1
+    for genuinely mixed chains."""
+    from fugue_tpu.inference.mcmc_utils import rank_normalized_split_r_hat
+
+    rng = np.random.default_rng(3)
+    chains = jnp.asarray(rng.standard_cauchy((8, 2000)))
+    r = float(rank_normalized_split_r_hat(chains))
+    assert 0.99 < r < 1.02
