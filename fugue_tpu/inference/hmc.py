@@ -65,6 +65,12 @@ class HMCConfig:
     # covariance mass (Cholesky-based kinetic energy) — for strongly
     # correlated posteriors where diagonal preconditioning is not enough
     mass: str = "diag"
+    # lax.scan unroll factor for the leapfrog loop. Measured on-chip
+    # (eight-schools, 1024 chains, L=32): unroll 8 gave only +5% over 1
+    # (0.0965 s vs 0.1017 s) and 16 was slower — the cost is per-op latency
+    # of the tiny-tensor gradient, not loop overhead — so the default stays
+    # 1; the knob exists for larger-body models where unrolling can fuse.
+    unroll: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -253,10 +259,12 @@ def mass_draw_momentum(key, inv_mass, shape, dtype):
 # ---------------------------------------------------------------------------
 
 
-def leapfrog(grad_fn, q, p, eps, n_steps: int, inv_mass):
+def leapfrog(grad_fn, q, p, eps, n_steps: int, inv_mass, unroll: int = 1):
     """L leapfrog steps with force reuse: L+1 gradient evaluations
     (reference: hmc.rs:353-407 — but each "gradient" here is one reverse-mode
-    sweep, not 2d model runs). ``lax.scan`` keeps the trajectory on-chip."""
+    sweep, not 2d model runs). ``lax.scan`` keeps the trajectory on-chip;
+    ``unroll`` replicates the body to amortize per-iteration loop overhead
+    on latency-bound small-d models (HMCConfig.unroll)."""
     g = grad_fn(q)
 
     def body(carry, _):
@@ -267,7 +275,10 @@ def leapfrog(grad_fn, q, p, eps, n_steps: int, inv_mass):
         p_new = p_half - 0.5 * eps * g_new
         return (q_new, p_new, g_new), None
 
-    (q_new, p_new, g_new), _ = jax.lax.scan(body, (q, p, g), None, length=n_steps)
+    (q_new, p_new, g_new), _ = jax.lax.scan(
+        body, (q, p, g), None, length=n_steps,
+        unroll=min(max(int(unroll), 1), max(int(n_steps), 1)),
+    )
     return q_new, p_new
 
 
@@ -313,6 +324,7 @@ def hmc_transition(
     n_leapfrog: int,
     inv_mass,
     max_delta_energy: float = 1000.0,
+    unroll: int = 1,
 ):
     """One HMC proposal + MH correction for a single chain position ``q``.
 
@@ -324,7 +336,7 @@ def hmc_transition(
     p = mass_draw_momentum(k_mom, inv_mass, q.shape, q.dtype)
     u0 = potential_fn(q)
     h0 = u0 + mass_kinetic(inv_mass, p)
-    q_new, p_new = leapfrog(grad_fn, q, p, eps, n_leapfrog, inv_mass)
+    q_new, p_new = leapfrog(grad_fn, q, p, eps, n_leapfrog, inv_mass, unroll)
     u1 = potential_fn(q_new)
     h1 = u1 + mass_kinetic(inv_mass, p_new)
     delta = h0 - h1
@@ -497,7 +509,7 @@ def make_hmc_drive(
                 )
             return hmc_transition(
                 potential, q, k_t, eps, config.n_leapfrog, im,
-                config.max_delta_energy,
+                config.max_delta_energy, config.unroll,
             )
 
         vstep = jax.vmap(jittered_step, in_axes=(0, 0, None, None))
