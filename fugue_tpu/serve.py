@@ -1,0 +1,308 @@
+"""JSON-RPC service for the DSL + incremental sessions — the host-process
+serving boundary.
+
+The reference's L6 ships the same capability set behind a wasm-bindgen
+artifact a browser loads directly (reference: crates/fugue-wasm/src/lib.rs:
+1-14 — CompiledModel, WasmMh, WasmHmc, WasmParticleFilter, wasm_smc_run,
+log_joint_grid). A TPU inference engine lives in a host process instead, so
+the equivalent deployment surface is this transport-thin JSON-RPC layer: a
+web frontend (or any client) POSTs ``{"method": ..., "params": ...}`` and
+drives the REAL engines on the accelerator. Stdlib-only (http.server +
+json): no framework dependencies to gate deployment.
+
+``FugueService`` is transport-agnostic (dict in → dict out; unit-testable
+without sockets); ``serve()`` wraps it in a ThreadingHTTPServer. Every
+result is plain JSON (arrays → nested lists).
+
+Usage::
+
+    python -m fugue_tpu.serve --port 8700
+
+    curl -d '{"method":"compile","params":{"source":"p ~ beta(2.0, 2.0); \
+        observe flips bernoulli(p); return p","data":{"flips":[1,0,1,1]}}}' \
+        localhost:8700
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _jsonable(x):
+    if isinstance(x, dict):
+        return {str(k): _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, (np.ndarray, jax.Array)):
+        return np.asarray(x).tolist()
+    if isinstance(x, (np.floating, np.integer, np.bool_)):
+        return x.item()
+    return x
+
+
+class ServiceError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+class FugueService:
+    """Method registry + model/session stores. One instance per process;
+    calls are serialized with a lock (one TPU, device-resident session
+    state)."""
+
+    def __init__(self, seed: int = 0):
+        self._models: Dict[str, Any] = {}  # id -> (CompiledModel, staged)
+        self._sessions: Dict[str, Any] = {}
+        self._next = 0
+        self._seed = seed
+        self._lock = threading.Lock()
+        self.methods: Dict[str, Callable] = {
+            "compile": self._compile,
+            "mh.new": self._mh_new,
+            "mh.step": self._mh_step,
+            "mh.history": self._mh_history,
+            "hmc.new": self._hmc_new,
+            "hmc.step": self._hmc_step,
+            "hmc.set": self._hmc_set,
+            "pf.new": self._pf_new,
+            "pf.observe": self._pf_observe,
+            "smc.run": self._smc_run,
+            "grid": self._grid,
+            "methods": lambda p: {"methods": sorted(self.methods)},
+        }
+
+    # -- plumbing -----------------------------------------------------------
+
+    def handle(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        """One JSON-RPC call: {"method", "params"?, "id"?} →
+        {"result"} | {"error": {"code", "message"}} (+ echoed id)."""
+        rid = request.get("id")
+        try:
+            method = request.get("method")
+            fn = self.methods.get(method)
+            if fn is None:
+                raise ServiceError(-32601, f"unknown method {method!r}")
+            with self._lock:
+                result = fn(request.get("params") or {})
+            out = {"result": _jsonable(result)}
+        except ServiceError as e:
+            out = {"error": {"code": e.code, "message": str(e)}}
+        except Exception as e:  # engine/typed errors surface as messages
+            out = {"error": {"code": -32000,
+                             "message": f"{type(e).__name__}: {e}"}}
+        if rid is not None:
+            out["id"] = rid
+        return out
+
+    def _new_id(self, prefix: str) -> str:
+        self._next += 1
+        return f"{prefix}-{self._next}"
+
+    def _key(self, params, salt: int = 0):
+        seed = int(params.get("seed", self._seed))
+        return jax.random.fold_in(jax.random.PRNGKey(seed), salt)
+
+    def _model(self, params):
+        mid = params.get("model_id")
+        if mid not in self._models:
+            raise ServiceError(-32602, f"unknown model_id {mid!r}")
+        return self._models[mid]
+
+    def _session(self, params, kind):
+        sid = params.get("session_id")
+        sess = self._sessions.get(sid)
+        if sess is None or not isinstance(sess, kind):
+            raise ServiceError(-32602, f"unknown session_id {sid!r}")
+        return sess
+
+    # -- methods ------------------------------------------------------------
+
+    def _compile(self, p):
+        from .dsl.compiler import compile_model
+        from .runtime.staging import stage
+
+        source = p.get("source")
+        if not source:
+            raise ServiceError(-32602, "params.source required")
+        compiled = compile_model(source)
+        model_fn = compiled.build(p.get("data"))
+        staged = stage(model_fn)
+        mid = self._new_id("model")
+        self._models[mid] = (compiled, model_fn, staged)
+        return {
+            "model_id": mid,
+            "dim": staged.dim,
+            "sites": [
+                {"address": s.address, "support": s.support.kind,
+                 "shape": list(s.shape)}
+                for s in staged.sites
+            ],
+            "observed": staged.observed_addresses,
+            "warnings": compiled.take_warnings(),
+        }
+
+    def _mh_new(self, p):
+        from .dsl.sessions import MhSession
+
+        _, _, staged = self._model(p)
+        sess = MhSession(
+            self._key(p, 1),
+            staged=staged,
+            n_chains=int(p.get("n_chains", 4)),
+            pinned_scale=p.get("pinned_scale"),
+        )
+        sid = self._new_id("mh")
+        self._sessions[sid] = sess
+        return {"session_id": sid, "n_chains": sess.n_chains}
+
+    def _mh_step(self, p):
+        from .dsl.sessions import MhSession
+
+        sess = self._session(p, MhSession)
+        values = sess.step(int(p.get("n", 1)))
+        return {"values": values, "accept_rate": sess.accept_rate}
+
+    def _mh_history(self, p):
+        from .dsl.sessions import MhSession
+
+        sess = self._session(p, MhSession)
+        addr = p.get("address")
+        if addr is None:
+            raise ServiceError(-32602, "params.address required")
+        return {"values": sess.chain_values(addr)}
+
+    def _hmc_new(self, p):
+        from .inference.hmc import HMCConfig, HmcSession
+
+        _, _, staged = self._model(p)
+        cfg = HMCConfig(
+            step_size=p.get("step_size"),
+            n_leapfrog=int(p.get("n_leapfrog", 32)),
+        )
+        sess = HmcSession(self._key(p, 2), staged=staged, config=cfg)
+        sid = self._new_id("hmc")
+        self._sessions[sid] = sess
+        return {"session_id": sid, "step_size": sess.step_size,
+                "n_leapfrog": sess.n_leapfrog, "dim": staged.dim}
+
+    def _hmc_step(self, p):
+        from .inference.hmc import HmcSession
+
+        sess = self._session(p, HmcSession)
+        if p.get("recorded"):
+            return sess.step_recorded()
+        info = sess.step()
+        return {
+            "accepted": bool(np.asarray(info.accepted)),
+            "divergent": bool(np.asarray(info.divergent)),
+            "accept_prob": float(np.asarray(info.accept_prob)),
+            "position": np.asarray(sess.position),
+        }
+
+    def _hmc_set(self, p):
+        from .inference.hmc import HmcSession
+
+        sess = self._session(p, HmcSession)
+        if "step_size" in p:
+            sess.set_step_size(float(p["step_size"]))
+        if "n_leapfrog" in p:
+            sess.set_n_leapfrog(int(p["n_leapfrog"]))
+        return {"step_size": sess.step_size, "n_leapfrog": sess.n_leapfrog}
+
+    def _pf_new(self, p):
+        from .dsl.sessions import ParticleFilter
+
+        sess = ParticleFilter(
+            self._key(p, 3),
+            n_particles=int(p.get("n_particles", 512)),
+            process_sd=float(p.get("process_sd", 0.3)),
+            obs_sd=float(p.get("obs_sd", 0.5)),
+        )
+        sid = self._new_id("pf")
+        self._sessions[sid] = sess
+        return {"session_id": sid}
+
+    def _pf_observe(self, p):
+        from .dsl.sessions import ParticleFilter
+
+        sess = self._session(p, ParticleFilter)
+        return sess.observe(float(p["y"]))
+
+    def _smc_run(self, p):
+        from .dsl.sessions import smc_run
+        from .inference.smc import SMCConfig
+
+        _, _, staged = self._model(p)
+        cfg = SMCConfig(
+            rejuvenation_steps=int(p.get("rejuvenation_steps", 3)),
+        )
+        return smc_run(
+            self._key(p, 4), staged=staged,
+            n_particles=int(p.get("n_particles", 512)), config=cfg,
+        )
+
+    def _grid(self, p):
+        from .dsl.sessions import log_joint_grid
+
+        _, _, staged = self._model(p)
+        return log_joint_grid(
+            None,
+            p["x_address"], p["y_address"],
+            tuple(p["x_range"]), tuple(p["y_range"]),
+            int(p.get("resolution", 64)),
+            staged=staged,
+            fixed=p.get("fixed"),
+        )
+
+
+def serve(port: int = 8700, host: str = "127.0.0.1",
+          service: Optional[FugueService] = None, *, block: bool = True):
+    """Serve ``FugueService`` over HTTP. POST JSON to any path."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    svc = service or FugueService()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (stdlib API)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                out = svc.handle(req)
+            except json.JSONDecodeError as e:
+                out = {"error": {"code": -32700, "message": f"parse: {e}"}}
+            body = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    if block:
+        httpd.serve_forever()
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--port", type=int, default=8700)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args(argv)
+    print(f"fugue-tpu JSON-RPC service on {args.host}:{args.port}")
+    serve(args.port, args.host)
+
+
+if __name__ == "__main__":
+    main()
