@@ -118,6 +118,7 @@ from .inference.abc import (
     manhattan_distance,
 )
 from .inference.gibbs import GibbsResult, gibbs_chain
+from .inference.marginalize import MarginalizedModel, marginalize
 from .inference.tempering import PTConfig, PTResult, geometric_ladder, pt_chain
 from .inference.predictive import posterior_predictive, predictive
 from .inference.model_comparison import (

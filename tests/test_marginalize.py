@@ -1,0 +1,218 @@
+"""Exact discrete marginalization (inference/marginalize.py).
+
+SURVEY.md §7 hard part 2: enumerable discrete latents summed out of the
+joint so gradient engines see a smooth marginal target, with exact
+conditional recovery of the discrete posterior afterwards.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+import fugue_tpu as ft
+from fugue_tpu.errors import StagingError
+from fugue_tpu.inference.marginalize import marginalize
+
+
+def _switch_model():
+    # z ~ Bern(0.3); theta ~ N(0,1); y ~ N(theta + mu_z, 1), mu = [-2, +2]
+    z = ft.sample("z", ft.Bernoulli(0.3))
+    theta = ft.sample("theta", ft.Normal(0.0, 1.0))
+    mu = jnp.where(z, 2.0, -2.0)
+    ft.observe("y", ft.Normal(theta + mu, 1.0), jnp.array(1.5))
+
+
+def test_marginal_log_joint_matches_hand_logsumexp():
+    marg = marginalize(_switch_model)
+    assert marg.n_states == 2
+    theta = jnp.array(0.7)
+
+    def lj(zval):
+        lp_z = stats.bernoulli.logpmf(zval, 0.3)
+        lp_t = stats.norm.logpdf(0.7)
+        mu = 2.0 if zval else -2.0
+        ll = stats.norm.logpdf(1.5, loc=0.7 + mu)
+        return lp_z + lp_t + ll
+
+    expect = np.logaddexp(lj(0), lj(1))
+    got = float(marg.log_joint({"theta": theta}))
+    assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_marginal_unconstrained_consistent_with_constrained():
+    marg = marginalize(_switch_model)
+    z = jnp.array([0.31])
+    lat, logdet = marg.constrain(z)
+    # theta has real support: identity transform, logdet 0
+    assert float(logdet) == pytest.approx(0.0)
+    assert float(marg.log_joint_unconstrained(z)) == pytest.approx(
+        float(marg.log_joint(lat)), abs=1e-6
+    )
+
+
+def test_discrete_posterior_matches_bayes():
+    marg = marginalize(_switch_model)
+    theta = 0.7
+    l0 = stats.norm.logpdf(1.5, loc=theta - 2.0) + np.log(0.7)
+    l1 = stats.norm.logpdf(1.5, loc=theta + 2.0) + np.log(0.3)
+    p1 = np.exp(l1 - np.logaddexp(l0, l1))
+    probs = marg.discrete_posterior({"theta": jnp.array(theta)})
+    np.testing.assert_allclose(np.asarray(probs["z"]), [1 - p1, p1], atol=1e-6)
+
+
+def test_hmc_on_marginalized_switch_matches_quadrature():
+    marg = marginalize(_switch_model)
+    res = ft.hmc_chain(
+        jax.random.PRNGKey(7),
+        staged=marg,
+        n_samples=1500,
+        n_warmup=500,
+        n_chains=8,
+        config=ft.HMCConfig(n_leapfrog=16),
+    )
+    th = np.asarray(res.samples["theta"]).reshape(-1)
+    # closed-ish form via quadrature over theta of the 2-component marginal
+    grid = np.linspace(-8, 8, 20001)
+    logp = np.logaddexp(
+        np.log(0.7) + stats.norm.logpdf(1.5, loc=grid - 2.0),
+        np.log(0.3) + stats.norm.logpdf(1.5, loc=grid + 2.0),
+    ) + stats.norm.logpdf(grid)
+    w = np.exp(logp - logp.max())
+    w /= w.sum()
+    mean = float(np.sum(w * grid))
+    var = float(np.sum(w * (grid - mean) ** 2))
+    se = np.sqrt(var / 500.0)  # conservative ESS floor
+    assert abs(th.mean() - mean) < 3 * se + 0.02
+    assert abs(th.var() - var) < 0.15 * var + 0.02
+
+
+def test_infer_discrete_recovers_indicator_posterior():
+    marg = marginalize(_switch_model)
+    res = ft.hmc_chain(
+        jax.random.PRNGKey(3),
+        staged=marg,
+        n_samples=1000,
+        n_warmup=500,
+        n_chains=4,
+        config=ft.HMCConfig(n_leapfrog=16),
+    )
+    zs = marg.infer_discrete(jax.random.PRNGKey(11), res.samples)
+    z = np.asarray(zs["z"])
+    assert z.shape == np.asarray(res.samples["theta"]).shape
+    assert z.dtype == np.asarray(
+        marg._inner._discovery_trace.choices["z"].value
+    ).dtype
+    # P(z=1 | y=1.5) by 2-D quadrature
+    grid = np.linspace(-8, 8, 20001)
+    j1 = np.log(0.3) + stats.norm.logpdf(1.5, loc=grid + 2.0) + stats.norm.logpdf(grid)
+    j0 = np.log(0.7) + stats.norm.logpdf(1.5, loc=grid - 2.0) + stats.norm.logpdf(grid)
+    m1 = np.exp(j1 - j1.max()).sum() * np.exp(j1.max())
+    m0 = np.exp(j0 - j0.max()).sum() * np.exp(j0.max())
+    p1 = m1 / (m0 + m1)
+    assert abs(z.mean() - p1) < 0.05
+
+
+def test_gmm_categorical_enumeration_and_vi():
+    data = jnp.array([-2.1, -1.9, -2.2, 1.8, 2.2, 2.0])
+    K = 2
+
+    def gmm():
+        mu0 = ft.sample("mu0", ft.Normal(-1.0, 3.0))
+        mu1 = ft.sample("mu1", ft.Normal(1.0, 3.0))
+        mus = jnp.stack([mu0, mu1])
+        for i in range(data.shape[0]):
+            zi = ft.sample(f"assign#{i}", ft.Categorical(jnp.full((K,), 1.0 / K)))
+            ft.observe(f"y#{i}", ft.Normal(mus[zi], 0.5), data[i])
+
+    marg = marginalize(gmm)
+    assert marg.n_states == K ** data.shape[0]
+    res = ft.hmc_chain(
+        jax.random.PRNGKey(0),
+        staged=marg,
+        n_samples=800,
+        n_warmup=400,
+        n_chains=4,
+        config=ft.HMCConfig(n_leapfrog=16),
+    )
+    mu0 = np.asarray(res.samples["mu0"]).reshape(-1)
+    mu1 = np.asarray(res.samples["mu1"]).reshape(-1)
+    # the exact marginal is label-symmetric (chains legitimately visit the
+    # swapped mode), so test label-INVARIANT quantities: per-draw sorted means
+    lo = np.minimum(mu0, mu1)
+    hi = np.maximum(mu0, mu1)
+    assert abs(lo.mean() - (-2.066667)) < 0.35
+    assert abs(hi.mean() - 2.0) < 0.35
+
+    # exact conditionals separate the clusters crisply: points in the same
+    # cluster share an indicator; opposite clusters differ (per draw)
+    zs = marg.infer_discrete(jax.random.PRNGKey(1), res.samples)
+    z0 = np.asarray(zs["assign#0"]).reshape(-1)  # y=-2.1
+    z1 = np.asarray(zs["assign#1"]).reshape(-1)  # y=-1.9
+    z3 = np.asarray(zs["assign#3"]).reshape(-1)  # y=+1.8
+    assert (z0 == z1).mean() > 0.95
+    assert (z0 != z3).mean() > 0.95
+
+    # VI runs on the marginalized model (would raise GuideError unwrapped);
+    # mean-field collapses into ONE of the two symmetric modes
+    vres = ft.optimize_meanfield_vi(
+        jax.random.PRNGKey(2),
+        staged=marg,
+        config=ft.VIConfig(n_iterations=400, n_samples=8, learning_rate=0.1),
+    )
+    loc0 = float(np.asarray(vres.params["mu0"]["loc"]))
+    loc1 = float(np.asarray(vres.params["mu1"]["loc"]))
+    vlo, vhi = sorted([loc0, loc1])
+    assert abs(vlo - (-2.0667)) < 0.4
+    assert abs(vhi - 2.0) < 0.4
+
+
+def test_mh_runs_on_marginalized_model():
+    marg = marginalize(_switch_model)
+    res = ft.adaptive_mcmc_chain(
+        jax.random.PRNGKey(5),
+        staged=marg,
+        n_samples=2000,
+        n_warmup=1000,
+        n_chains=8,
+    )
+    th = np.asarray(res.samples["theta"]).reshape(-1)
+    assert "z" not in res.samples
+    assert np.isfinite(th).all()
+
+
+def test_unbounded_count_site_raises():
+    def m():
+        lam = ft.sample("lam", ft.Gamma(2.0, 1.0))
+        n = ft.sample("n", ft.Poisson(lam))
+        ft.observe("y", ft.Normal(jnp.asarray(n, jnp.float64), 1.0), jnp.array(3.0))
+
+    with pytest.raises(StagingError, match="not enumerable"):
+        marginalize(m)
+
+
+def test_state_explosion_raises():
+    def m():
+        theta = ft.sample("theta", ft.Normal(0.0, 1.0))
+        for i in range(20):
+            ft.sample(f"b#{i}", ft.Bernoulli(0.5))
+        ft.observe("y", ft.Normal(theta, 1.0), jnp.array(0.0))
+
+    with pytest.raises(StagingError, match="max_states"):
+        marginalize(m)
+
+
+def test_no_discrete_sites_raises():
+    def m():
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array(0.2))
+
+    with pytest.raises(StagingError, match="no discrete latent"):
+        marginalize(m)
+
+
+def test_parts_decomposition_raises():
+    marg = marginalize(_switch_model)
+    with pytest.raises(StagingError, match="decompose"):
+        marg.log_density_parts({"theta": jnp.array(0.0)})
