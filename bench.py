@@ -260,6 +260,45 @@ def bench_nuts():
     }
 
 
+def bench_chees():
+    import fugue_tpu as ft
+    from fugue_tpu.inference.chees import ChEESConfig, chees_chain
+    from fugue_tpu.inference.mcmc_utils import ess_multichain, split_r_hat
+
+    n_chains, n_warmup, n_samples = 1024, 1000, 1000
+    staged = ft.stage(eight_schools_model)
+
+    def run(i):
+        return chees_chain(
+            jax.random.fold_in(jax.random.PRNGKey(5), i),
+            n_samples=n_samples, n_warmup=n_warmup, n_chains=n_chains,
+            config=ChEESConfig(target_accept=0.8), staged=staged,
+        )
+
+    elapsed, res = _timed(run, 1)
+    mus = np.asarray(res.samples["mu"])
+    ess = float(ess_multichain(mus))
+    d = staged.dim
+    mean_L = res.mean_leapfrog
+    trans_rate = n_chains * (n_warmup + n_samples) / elapsed
+    # same derived finite-difference baseline as NUTS, at OUR mean step count
+    ref_rate = 1.0 / ((mean_L + 1) * 2 * d * REF_MODEL_RUN_SEC * (d / 20.0))
+    grad_evals = n_chains * (n_warmup + n_samples) * (mean_L + 1)
+    return {
+        "submetric": "chees_ess_per_sec_eight_schools_1024chains",
+        "value": round(ess / elapsed, 1),
+        "unit": "ESS/s",
+        "vs_baseline": round(trans_rate / ref_rate, 2),
+        "wall_s": round(elapsed, 4),
+        "transitions_per_sec": round(trans_rate, 1),
+        "grad_evals_per_sec": round(grad_evals / elapsed, 1),
+        "mean_leapfrog": round(mean_L, 2),
+        "trajectory_length": round(res.trajectory_length, 3),
+        "r_hat": round(float(split_r_hat(mus)), 5),
+        "divergence_rate": round(float(np.asarray(res.divergences).mean()), 5),
+    }
+
+
 def bench_smc():
     import fugue_tpu as ft
     from fugue_tpu.inference.smc import SMCConfig, adaptive_smc
@@ -334,6 +373,7 @@ def main():
         ("mh", bench_mh),
         ("hmc", bench_hmc),
         ("nuts", bench_nuts),
+        ("chees", bench_chees),
         ("smc", bench_smc),
         ("vi", bench_vi),
     ]:

@@ -46,6 +46,7 @@ from .core.distributions import (
     Cauchy,
     ChiSquared,
     Dirichlet,
+    MultivariateNormal,
     DiscreteUniform,
     Distribution,
     Exponential,
@@ -118,6 +119,7 @@ from .inference.abc import (
     manhattan_distance,
 )
 from .inference.gibbs import GibbsResult, gibbs_chain
+from .inference.chees import ChEESConfig, ChEESResult, chees_chain
 from .inference.marginalize import MarginalizedModel, marginalize
 from .inference.tempering import PTConfig, PTResult, geometric_ladder, pt_chain
 from .inference.predictive import posterior_predictive, predictive

@@ -1,0 +1,423 @@
+"""ChEES-HMC: cross-chain adaptive trajectory lengths, lock-step on TPU.
+
+NUTS adapts trajectory length per chain by building a tree until a U-turn —
+inherently divergent control flow that vectorized lanes pay for at the depth
+of the deepest chain (see inference/nuts.py's ring drive for how far that
+can be pushed). ChEES-HMC (Hoffman, Radul & Sountsov, AISTATS 2021 — the
+scheme behind tfp.mcmc's accelerator samplers, PAPERS.md "tfp.mcmc" /
+"Efficiently Vectorized MCMC on Modern Accelerators") removes the problem
+instead of mitigating it: ALL chains share one jittered trajectory length,
+and that length is *learned* by stochastic gradient ascent on the ChEES
+criterion
+
+    ChEES(T) = 1/4 · E[ (‖q' − E q'‖² − ‖q − E q‖²)² ]
+
+whose gradient is estimated FROM THE CHAIN BATCH itself — the cross-chain
+expectations that a single sequential chain cannot see are exactly what a
+(chains, d) TPU layout provides for free. Every transition is a plain
+fixed-step leapfrog over the whole batch (MXU/VPU-dense, zero wasted
+lanes); the step count varies only *between* iterations (one shared
+``while_loop`` trip count), never across chains.
+
+Relation to the reference: this engine has no counterpart in fugue (its HMC
+has fixed user-chosen L, src/inference/hmc.rs:105-135); it is the
+TPU-native answer to the same question NUTS answers sequentially.
+
+Per-iteration recipe (all chains, one compiled body):
+1. jitter: τ_t = h_t · T with h_t the base-2 Halton point (shared across
+   chains so the batch stays lock-step; quasi-random to break resonances).
+2. L_t = clip(⌈τ_t/ε⌉, 1, max_leapfrog) leapfrog steps at step size ε for
+   the whole batch (dynamic-trip ``while_loop`` over a vectorized body).
+3. MH accept per chain; dual-averaging ε on the cross-chain mean
+   acceptance (Hoffman-Gelman Alg 5, shared with inference/hmc.py).
+4. trajectory-length update: per-chain surrogate gradient
+      ĝ_i = h_t · α_i · (‖q̃'_i‖² − ‖q̃_i‖²) · ⟨q̃'_i, v'_i⟩
+   (q̃ centered on the cross-chain mean, v' the end velocity, α the
+   acceptance probability), averaged with α weights, chain-ruled onto
+   log T, one Adam step.
+5. cross-chain Welford mass adaptation at warmup midpoint (shared with
+   inference/hmc.py), ε re-tuned after the mass swap.
+
+After warmup ε and T freeze at their averaged values; sampling keeps the
+Halton jitter (fixed-length trajectories resonate on near-Gaussian
+targets).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import settings
+from ..runtime.staging import StagedModel, stage
+from .hmc import (
+    DualAveragingState,
+    WelfordState,
+    constrain_positions,
+    dual_averaging_update,
+    find_reasonable_epsilon,
+    initial_positions,
+    mass_draw_momentum,
+    mass_kinetic,
+    mass_velocity,
+    welford_merge_across,
+    welford_push_batch,
+    welford_variance,
+)
+
+
+@dataclass(frozen=True)
+class ChEESConfig:
+    step_size: Optional[float] = None  # None → reasonable-epsilon search
+    target_accept: float = 0.651  # optimal for jittered fixed-L HMC (paper §4)
+    adapt_rate: float = 0.025  # Adam learning rate on log T
+    max_leapfrog: int = 1024  # hard cap on steps per trajectory
+    adapt_step_size: bool = True
+    adapt_mass: bool = True
+    max_delta_energy: float = 1000.0
+    init: str = "uniform"  # see HMCConfig.init
+
+
+@dataclass
+class ChEESResult:
+    samples: Dict[str, Any]  # constrained, addr -> (n_chains, n_samples, ...)
+    positions: Any  # (n_chains, n_samples, d)
+    log_joint: Any  # (n_chains, n_samples)
+    accept_prob: Any  # (n_samples,) cross-chain mean per step
+    divergences: Any  # (n_chains, n_samples)
+    step_size: float
+    trajectory_length: float  # adapted T (pre-jitter maximum)
+    mean_leapfrog: float  # average steps per post-warmup transition
+    inv_mass: Any
+    final_positions: Any
+
+
+def halton_sequence(n: int) -> np.ndarray:
+    """Base-2 Halton (van der Corput) points h_1..h_n in (0,1) — the shared
+    per-iteration trajectory jitter. Quasi-random: consecutive lengths
+    alternate coarse/fine, covering (0,1) far more evenly than iid draws."""
+    out = np.zeros(n)
+    for i in range(n):
+        f, r, idx = 0.5, 0.0, i + 1
+        while idx > 0:
+            r += f * (idx & 1)
+            idx >>= 1
+            f *= 0.5
+        out[i] = r
+    return out
+
+
+def _batched_leapfrog_dyn(grad_all, Q, P, eps, n_steps, inv_mass):
+    """``n_steps`` (traced, shared) leapfrog steps for the whole (chains, d)
+    batch: ONE while_loop whose body advances every chain — the lock-step
+    structure that makes ChEES TPU-shaped. L+1 batched gradient evals."""
+    G = grad_all(Q)
+
+    def vel(P):
+        return jax.vmap(lambda p: mass_velocity(inv_mass, p))(P)
+
+    def body(carry):
+        i, Q, P, G = carry
+        P_half = P - 0.5 * eps * G
+        Q_new = Q + eps * vel(P_half)
+        G_new = grad_all(Q_new)
+        P_new = P_half - 0.5 * eps * G_new
+        return (i + 1, Q_new, P_new, G_new)
+
+    def cond(carry):
+        return carry[0] < n_steps
+
+    _, Q_new, P_new, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), Q, P, G)
+    )
+    return Q_new, P_new
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class AdamState:
+    m: Any
+    v: Any
+    t: Any
+
+    @staticmethod
+    def init():
+        dt = settings.real_dtype()
+        z = jnp.zeros((), dt)
+        return AdamState(m=z, v=z, t=z)
+
+
+def _adam_step(state: AdamState, grad, lr, b1=0.9, b2=0.999, eps=1e-8):
+    t = state.t + 1.0
+    m = b1 * state.m + (1 - b1) * grad
+    v = b2 * state.v + (1 - b2) * grad * grad
+    mhat = m / (1 - b1**t)
+    vhat = v / (1 - b2**t)
+    return AdamState(m=m, v=v, t=t), lr * mhat / (jnp.sqrt(vhat) + eps)
+
+
+def chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean):
+    """Surrogate d ChEES / d trajectory-length from the batch (paper §3.2).
+
+    Numerically hardened for the f32 TPU path (an early-warmup proposal can
+    sit at 1e20 before the divergence check rejects it — finite in f32 but
+    its squared norm is not):
+    - cross-chain centering uses α-and-finiteness MASKED means, so one
+      diverged chain cannot poison the center of every other chain;
+    - per-chain contributions are zeroed unless every factor is finite;
+    - the result is clipped: one overflowed iteration would otherwise set
+      Adam's second moment to inf and NaN the trajectory length forever
+      (the exact failure the first on-chip run of this engine produced).
+    ``cmean``: mean over the chain axis (jnp.mean on one chip, pmean-merged
+    under shard_map)."""
+    finite = (
+        jnp.all(jnp.isfinite(Q_prop), axis=1)
+        & jnp.all(jnp.isfinite(V_end), axis=1)
+    )
+    # sanitize BEFORE any arithmetic: inf * 0 is NaN, so masked-out rows
+    # must be replaced, not just down-weighted
+    Qp_safe = jnp.where(finite[:, None], Q_prop, 0.0)
+    V_safe = jnp.where(finite[:, None], V_end, 0.0)
+    w = jnp.where(finite, accept_prob, 0.0)
+    mw = jnp.maximum(cmean(w), 1e-10)
+    q_bar = cmean(Q * w[:, None], axis=0) / mw
+    qp_bar = cmean(Qp_safe * w[:, None], axis=0) / mw
+    Qc = Q - q_bar[None, :]
+    Qp = Qp_safe - qp_bar[None, :]
+    dsq = jnp.sum(Qp * Qp, axis=1) - jnp.sum(Qc * Qc, axis=1)
+    inner = jnp.sum(Qp * V_safe, axis=1)
+    g = h * dsq * inner
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    grad = cmean(w * g) / mw
+    grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+    return jnp.clip(grad, -1e6, 1e6)
+
+
+def make_chees_drive(
+    staged: StagedModel,
+    config: ChEESConfig,
+    n_chains: int,
+    n_samples: int,
+    n_warmup: int,
+    *,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axis: Optional[str] = None,
+):
+    """Pure ``(q0, k_eps, k_run) → arrays`` program; same factory contract
+    as ``make_hmc_drive`` so it jits on one chip or runs inside
+    ``shard_map`` with the chain batch sharded over ``chain_axis`` (the
+    ChEES expectations then reduce over ICI with pmean)."""
+    dt = settings.real_dtype()
+    d = staged.dim
+
+    def potential(z):
+        return staged.potential(z, discrete)
+
+    grad_all = jax.vmap(jax.grad(potential))
+    pot_all = jax.vmap(potential)
+
+    def cmean(x, axis=0):
+        m = jnp.mean(x, axis=axis)
+        if chain_axis is not None:
+            m = jax.lax.pmean(m, chain_axis)
+        return m
+
+    halton = jnp.asarray(
+        halton_sequence(max(n_warmup + n_samples, 1)), dt
+    )
+
+    def transition(Q, k, eps, T, h, inv_mass):
+        """One jittered fixed-length transition for the whole batch.
+        Returns (Q_out, Q_prop, P_end, accept_prob, accepted, divergent, L)."""
+        k_mom, k_acc = jax.random.split(k)
+        tau = h * T / eps
+        L = jnp.clip(
+            jnp.ceil(jnp.where(jnp.isfinite(tau), tau, 1.0)).astype(jnp.int32),
+            1, config.max_leapfrog,
+        )
+        P = jax.vmap(
+            lambda kk: mass_draw_momentum(kk, inv_mass, (d,), dt)
+        )(jax.random.split(k_mom, n_chains))
+        U0 = pot_all(Q)
+        K0 = jax.vmap(lambda p: mass_kinetic(inv_mass, p))(P)
+        Q_new, P_new = _batched_leapfrog_dyn(grad_all, Q, P, eps, L, inv_mass)
+        U1 = pot_all(Q_new)
+        K1 = jax.vmap(lambda p: mass_kinetic(inv_mass, p))(P_new)
+        delta = (U0 + K0) - (U1 + K1)
+        finite = jnp.isfinite(delta) & jnp.isfinite(U1)
+        divergent = (~finite) | (-delta > config.max_delta_energy)
+        accept_prob = jnp.where(
+            divergent, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
+        )
+        log_u = jnp.log(
+            jax.random.uniform(k_acc, (n_chains,), dt, 1e-38, 1.0)
+        )
+        accepted = (~divergent) & (log_u < delta)
+        Q_out = jnp.where(accepted[:, None], Q_new, Q)
+        return Q_out, Q_new, P_new, accept_prob, accepted, divergent, L
+
+    def chees_grad(Q, Q_prop, P_end, accept_prob, h, inv_mass):
+        V_end = jax.vmap(lambda p: mass_velocity(inv_mass, p))(P_end)
+        return chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean)
+
+    def drive(q0, k_eps, k_run):
+        if config.step_size is not None:
+            eps0 = jnp.asarray(config.step_size, dt)
+        else:
+            eps0 = find_reasonable_epsilon(
+                potential, q0[0], k_eps, jnp.ones((d,), dt)
+            )
+            if chain_axis is not None:
+                eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
+        da0 = DualAveragingState.init(eps0)
+        # T starts at one step and grows under the ChEES gradient
+        logT0 = jnp.log(eps0)
+        inv_mass0 = jnp.ones((d,), dt)
+
+        def warm_body(carry, xs):
+            Q, da, logT, logT_bar, adam, welford, inv_mass = carry
+            k, h, it = xs
+            eps = jnp.exp(da.log_eps) if config.adapt_step_size else eps0
+            T = jnp.exp(logT)
+            Q_out, Q_prop, P_end, ap, acc, div, L = transition(
+                Q, k, eps, T, h, inv_mass
+            )
+            da_new = dual_averaging_update(
+                da, cmean(ap), config.target_accept
+            )
+            # criterion compares the PROPOSAL against the pre-transition state
+            g = chees_grad(Q, Q_prop, P_end, ap, h, inv_mass)
+            adam_new, step = _adam_step(
+                adam, -g * jnp.exp(logT), config.adapt_rate
+            )  # ascent on ChEES
+            logT_new = jnp.clip(
+                logT - step,
+                jnp.log(eps) - 1.0,
+                jnp.log(config.max_leapfrog * eps),
+            )
+            # Polyak-style averaging with the dual-averaging schedule weight
+            eta = jnp.power(adam_new.t, -0.75)
+            logT_bar_new = eta * logT_new + (1.0 - eta) * logT_bar
+            welford_new = welford_push_batch(welford, Q_out)
+            return (
+                Q_out, da_new, logT_new, logT_bar_new, adam_new,
+                welford_new, inv_mass,
+            ), cmean(ap)
+
+        n_half = n_warmup // 2
+        carry = (
+            q0, da0, logT0, logT0, AdamState.init(),
+            WelfordState.init(d), inv_mass0,
+        )
+        if n_warmup > 0:
+            xs1 = (
+                jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1)),
+                halton[: max(n_half, 1)],
+                jnp.arange(max(n_half, 1)),
+            )
+            carry, _ = jax.lax.scan(warm_body, carry, xs1)
+            Q1, da1, logT1, logT_bar1, adam1, welford1, _ = carry
+            if config.adapt_mass:
+                if chain_axis is not None:
+                    welford1 = welford_merge_across(welford1, chain_axis)
+                inv_mass1 = welford_variance(welford1)
+                da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
+            else:
+                inv_mass1 = inv_mass0
+            carry = (
+                Q1, da1, logT1, logT_bar1, adam1,
+                WelfordState.init(d), inv_mass1,
+            )
+            n_rest = max(n_warmup - n_half, 1)
+            xs2 = (
+                jax.random.split(jax.random.fold_in(k_run, 1), n_rest),
+                halton[n_half : n_half + n_rest],
+                jnp.arange(n_rest),
+            )
+            carry, _ = jax.lax.scan(warm_body, carry, xs2)
+
+        Q_w, da_w, logT_w, logT_bar_w, _, _, inv_mass_f = carry
+        eps_f = (
+            jnp.exp(da_w.log_eps_bar)
+            if (config.adapt_step_size and n_warmup > 0)
+            else jnp.exp(da_w.log_eps)
+        )
+        T_f = jnp.exp(logT_bar_w if n_warmup > 0 else logT_w)
+
+        def sample_body(Q, xs):
+            k, h = xs
+            Q_out, _, _, ap, _, div, L = transition(
+                Q, k, eps_f, T_f, h, inv_mass_f
+            )
+            lj = -pot_all(Q_out)
+            return Q_out, (Q_out, lj, cmean(ap), div, L)
+
+        xs_s = (
+            jax.random.split(jax.random.fold_in(k_run, 2), n_samples),
+            halton[n_warmup : n_warmup + n_samples],
+        )
+        Q_f, (qs, ljs, aps, divs, Ls) = jax.lax.scan(sample_body, Q_w, xs_s)
+        mean_L = jnp.mean(Ls.astype(dt))
+        return Q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f
+
+    return drive
+
+
+def chees_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 1000,
+    config: ChEESConfig = ChEESConfig(),
+    *,
+    n_chains: int = 64,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+) -> ChEESResult:
+    """Run ChEES-HMC: HMC whose trajectory length is learned from the chain
+    batch (see module docstring). Needs ≥ ~8 chains — the ChEES gradient is
+    a cross-chain expectation; more chains → less adaptation noise."""
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if staged.dim == 0:
+        raise ValueError("model has no continuous latent sites; use MH")
+    dt = settings.real_dtype()
+
+    drive = staged.cached_kernel(
+        ("chees", config, n_chains, n_samples, n_warmup,
+         _discrete_key(discrete), None),
+        lambda: jax.jit(
+            make_chees_drive(
+                staged, config, n_chains, n_samples, n_warmup,
+                discrete=discrete,
+            )
+        ),
+    )
+    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 29), 3)
+    q0 = initial_positions(staged, k_init, n_chains, config.init)
+    q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = drive(
+        q0, k_eps, k_run
+    )
+    positions = jnp.moveaxis(qs, 0, 1)  # (chains, samples, d)
+    samples = constrain_positions(staged, positions)
+    return ChEESResult(
+        samples=samples,
+        positions=positions,
+        log_joint=jnp.moveaxis(ljs, 0, 1),
+        accept_prob=aps,
+        divergences=jnp.moveaxis(divs, 0, 1),
+        step_size=float(np.asarray(eps_f)),
+        trajectory_length=float(np.asarray(T_f)),
+        mean_leapfrog=float(np.asarray(mean_L)),
+        inv_mass=inv_mass_f,
+        final_positions=q_f,
+    )
+
+
+def _discrete_key(discrete):
+    return None if discrete is None else tuple(sorted(discrete))

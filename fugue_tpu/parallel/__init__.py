@@ -16,7 +16,12 @@ from .mesh import (
     make_chain_mesh,
     replicated,
 )
-from .sharded import sharded_hmc_chain, sharded_nuts_chain, sharded_smc
+from .sharded import (
+    sharded_chees_chain,
+    sharded_hmc_chain,
+    sharded_nuts_chain,
+    sharded_smc,
+)
 
 __all__ = [
     "CHAIN_AXIS",
@@ -31,6 +36,7 @@ __all__ = [
     "make_hybrid_mesh",
     "make_pod_chain_mesh",
     "replicated",
+    "sharded_chees_chain",
     "sharded_hmc_chain",
     "sharded_nuts_chain",
     "sharded_smc",

@@ -250,6 +250,101 @@ def sharded_nuts_chain(
     )
 
 
+def sharded_chees_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 1000,
+    config=None,
+    *,
+    n_chains: int = 8,
+    mesh: Optional[Mesh] = None,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axes=None,
+):
+    """ChEES-HMC with the chain batch sharded across ``mesh``'s chain axes.
+
+    The ChEES trajectory-length gradient is a cross-chain expectation —
+    under ``shard_map`` it reduces over the mesh with ``pmean`` alongside
+    the acceptance statistic and Welford mass moments, so the learned
+    (ε, T) kernel is identical on every device and the per-iteration
+    leapfrog trip count stays lock-step across the whole slice."""
+    from ..inference.chees import ChEESConfig, ChEESResult, make_chees_drive
+
+    if config is None:
+        config = ChEESConfig()
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if mesh is None:
+        mesh = make_chain_mesh()
+    chain_axes = _resolve_chain_axes(mesh, chain_axes)
+    ax_el = _chain_spec_element(chain_axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in chain_axes]))
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
+    per_shard = n_chains // n_dev
+
+    from ..inference.hmc import constrain_positions, initial_positions
+
+    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 17), 3)
+    q0 = initial_positions(staged, k_init, n_chains, config.init)
+    q0 = jax.device_put(q0, NamedSharding(mesh, P(ax_el, None)))
+
+    drive = make_chees_drive(
+        staged, config, per_shard, n_samples, n_warmup,
+        discrete=discrete, chain_axis=ax_el,
+    )
+
+    def shard_fn(q0_local, k_eps, k_run):
+        idx = flat_axis_index(mesh, chain_axes)
+        k_run_local = jax.random.fold_in(k_run, idx)
+        return drive(q0_local, k_eps, k_run_local)
+
+    def build_mapped():
+        mapped = _shard_map(
+            shard_fn,
+            mesh,
+            in_specs=(P(ax_el, None), P(), P()),
+            out_specs=(
+                P(ax_el, None),          # q_f (chains, d)
+                P(None, ax_el, None),    # qs (n_samples, chains, d)
+                P(None, ax_el),          # ljs
+                P(None,),                # accept prob (cross-chain mean, replicated)
+                P(None, ax_el),          # divergences
+                P(),                     # eps_final (consensus, replicated)
+                P(),                     # T_final (consensus, replicated)
+                P(),                     # mean leapfrog count (replicated)
+                P(None,),                # inv_mass (replicated)
+            ),
+        )
+        return jax.jit(mapped)
+
+    jit_mapped = staged.cached_kernel(
+        ("sharded_chees", config, n_chains, n_samples, n_warmup, id(mesh),
+         chain_axes),
+        build_mapped,
+    )
+    q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = jit_mapped(
+        q0, k_eps, k_run
+    )
+
+    positions = jnp.moveaxis(qs, 0, 1)
+    return ChEESResult(
+        samples=constrain_positions(staged, positions),
+        positions=positions,
+        log_joint=jnp.moveaxis(ljs, 0, 1),
+        accept_prob=aps,
+        divergences=jnp.moveaxis(divs, 0, 1),
+        step_size=float(np.asarray(eps_f)),
+        trajectory_length=float(np.asarray(T_f)),
+        mean_leapfrog=float(np.asarray(mean_L)),
+        inv_mass=inv_mass_f,
+        final_positions=q_f,
+    )
+
+
 def sharded_smc(
     key,
     n_particles: int,

@@ -1,0 +1,195 @@
+"""ChEES-HMC (inference/chees.py): cross-chain learned trajectory lengths.
+
+No reference counterpart (fugue's HMC has fixed user-chosen L,
+src/inference/hmc.rs:105-135); validation is against closed forms and the
+structural claims of Hoffman, Radul & Sountsov 2021.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fugue_tpu as ft
+from fugue_tpu.inference.chees import ChEESConfig, chees_chain, halton_sequence
+
+
+def test_halton_sequence_low_discrepancy():
+    h = halton_sequence(256)
+    assert h.shape == (256,)
+    assert np.all((h > 0) & (h < 1))
+    # van der Corput base 2: first points are 1/2, 1/4, 3/4, 1/8...
+    np.testing.assert_allclose(h[:4], [0.5, 0.25, 0.75, 0.125])
+    # every dyadic bin of width 1/16 gets exactly 16 of 256 points
+    counts = np.histogram(h, bins=16, range=(0, 1))[0]
+    assert counts.min() == counts.max() == 16
+
+
+def test_conjugate_normal_posterior():
+    # prior N(0,1), 5 obs at sigma=1 → posterior N(sum_y/6, 1/6)
+    y = jnp.array([0.8, 1.2, 1.0, 0.6, 1.4])
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(mu, 1.0), y)
+
+    res = chees_chain(
+        jax.random.PRNGKey(0), model, n_samples=1500, n_warmup=1000,
+        n_chains=32,
+    )
+    mu = np.asarray(res.samples["mu"]).reshape(-1)
+    post_mean = float(jnp.sum(y)) / 6.0
+    post_var = 1.0 / 6.0
+    se = np.sqrt(post_var / 2000.0)
+    assert abs(mu.mean() - post_mean) < 4 * se + 0.005
+    assert abs(mu.var() - post_var) < 0.15 * post_var
+    assert float(np.mean(res.accept_prob)) > 0.5
+    assert float(np.mean(res.divergences)) < 0.01
+
+
+def test_correlated_gaussian_covariance_recovery():
+    rho = 0.9
+    cov = jnp.array([[1.0, rho], [rho, 1.0]])
+
+    def model():
+        ft.sample("x", ft.MultivariateNormal(jnp.zeros(2), cov))
+
+    res = chees_chain(
+        jax.random.PRNGKey(1), model, n_samples=1000, n_warmup=1000,
+        n_chains=64,
+    )
+    x = np.asarray(res.samples["x"]).reshape(-1, 2)
+    c = np.cov(x.T)
+    np.testing.assert_allclose(x.mean(0), [0.0, 0.0], atol=0.06)
+    np.testing.assert_allclose(c, np.asarray(cov), atol=0.12)
+
+
+def test_trajectory_length_adapts_to_widest_scale():
+    """Anisotropic Gaussian with mass adaptation OFF: the only way to reach
+    target ESS on the sigma=8 axis is a long trajectory — ChEES must grow T
+    well past the small-step regime (the quantity NUTS finds by tree
+    doubling, learned here by cross-chain gradients)."""
+
+    def model():
+        ft.sample("a", ft.Normal(0.0, 1.0))
+        ft.sample("b", ft.Normal(0.0, 8.0))
+
+    res = chees_chain(
+        jax.random.PRNGKey(2), model, n_samples=500, n_warmup=1500,
+        n_chains=64, config=ChEESConfig(adapt_mass=False),
+    )
+    # optimal tau ~ (pi/2)*sigma_max ≈ 12.6; adapted MAX length T should be
+    # of that order, and far above the step size
+    assert res.trajectory_length > 4.0
+    assert res.mean_leapfrog > 3.0
+    b = np.asarray(res.samples["b"]).reshape(-1)
+    assert abs(b.std() - 8.0) < 1.2
+
+
+def test_eight_schools_quality():
+    y = jnp.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 5.0))
+        tau = ft.sample("tau", ft.LogNormal(0.0, 1.0))
+        theta_raw = ft.sample("theta_raw", ft.Normal(0.0, 1.0), sample_shape=(8,))
+        ft.observe("y", ft.Normal(mu + tau * theta_raw, sigma), y)
+
+    # funnel-ish geometry: target 0.8 (as HMC/NUTS default) keeps the step
+    # size conservative enough; the paper's 0.651 is tuned for smooth targets
+    res = chees_chain(
+        jax.random.PRNGKey(3), model, n_samples=1000, n_warmup=1000,
+        n_chains=32, config=ChEESConfig(target_accept=0.8),
+    )
+    mu = np.asarray(res.samples["mu"])  # (chains, samples)
+    rh = float(ft.split_r_hat(mu))
+    assert rh < 1.02, rh
+    assert float(np.mean(res.divergences)) < 0.03
+    assert abs(mu.mean() - 4.4) < 1.5  # posterior mean of mu ≈ 4.4
+
+
+def test_seed_reproducibility():
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array(0.5))
+
+    r1 = chees_chain(jax.random.PRNGKey(7), model, n_samples=50,
+                     n_warmup=50, n_chains=8)
+    r2 = chees_chain(jax.random.PRNGKey(7), model, n_samples=50,
+                     n_warmup=50, n_chains=8)
+    np.testing.assert_array_equal(
+        np.asarray(r1.positions), np.asarray(r2.positions)
+    )
+
+
+def test_no_continuous_sites_raises():
+    def m():
+        ft.sample("b", ft.Bernoulli(0.5))
+
+    with pytest.raises(ValueError, match="no continuous"):
+        chees_chain(jax.random.PRNGKey(0), m, n_samples=10, n_warmup=10)
+
+
+def test_works_on_marginalized_model():
+    def switch():
+        z = ft.sample("z", ft.Bernoulli(0.3))
+        th = ft.sample("theta", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(th + jnp.where(z, 2.0, -2.0), 1.0),
+                   jnp.array(1.5))
+
+    marg = ft.marginalize(switch)
+    res = chees_chain(jax.random.PRNGKey(5), staged=marg, n_samples=500,
+                      n_warmup=500, n_chains=16)
+    th = np.asarray(res.samples["theta"]).reshape(-1)
+    assert abs(th.mean() - (-0.042)) < 0.1  # quadrature truth
+
+
+def test_chees_gradient_f32_overflow_and_inf_guard():
+    """Regression: the first on-chip run NaN'd the trajectory length because
+    a finite-but-huge f32 proposal overflowed inside the weighted branch and
+    poisoned Adam's second moment. The gradient must stay finite for any
+    input."""
+    from fugue_tpu.inference.chees import chees_gradient
+
+    cm = lambda x, axis=0: jnp.mean(x, axis=axis)
+    n, d = 8, 4
+    Q = jnp.zeros((n, d), jnp.float32)
+    ap = jnp.ones((n,), jnp.float32)
+    h = jnp.float32(0.5)
+
+    # finite-but-huge: squared norm overflows f32 to inf
+    Qp = jnp.full((n, d), 1e20, jnp.float32)
+    V = jnp.full((n, d), 1e20, jnp.float32)
+    assert np.isfinite(float(chees_gradient(Q, Qp, V, ap, h, cm)))
+
+    # outright inf/nan rows are masked, the rest still contribute
+    Qp2 = jnp.ones((n, d), jnp.float32).at[0].set(jnp.inf).at[1].set(jnp.nan)
+    V2 = jnp.ones((n, d), jnp.float32)
+    assert np.isfinite(float(chees_gradient(Q, Qp2, V2, ap, h, cm)))
+
+    # all-divergent batch (w == 0 everywhere) degrades to zero, not NaN
+    assert float(chees_gradient(Q, Qp2, V2, jnp.zeros((n,), jnp.float32), h, cm)) == 0.0
+
+
+def test_chees_gradient_matches_direct_formula():
+    from fugue_tpu.inference.chees import chees_gradient
+
+    rng = np.random.default_rng(0)
+    n, d = 16, 3
+    Q = jnp.asarray(rng.normal(size=(n, d)))
+    Qp = jnp.asarray(rng.normal(size=(n, d)))
+    V = jnp.asarray(rng.normal(size=(n, d)))
+    ap = jnp.asarray(rng.uniform(0.2, 1.0, n))
+    h = 0.7
+    cm = lambda x, axis=0: jnp.mean(x, axis=axis)
+    got = float(chees_gradient(Q, Qp, V, ap, h, cm))
+
+    w = np.asarray(ap)
+    qb = (np.asarray(Q) * w[:, None]).mean(0) / w.mean()
+    qpb = (np.asarray(Qp) * w[:, None]).mean(0) / w.mean()
+    Qc, Qpc = np.asarray(Q) - qb, np.asarray(Qp) - qpb
+    dsq = (Qpc**2).sum(1) - (Qc**2).sum(1)
+    inner = (Qpc * np.asarray(V)).sum(1)
+    expect = (w * h * dsq * inner).mean() / w.mean()
+    assert got == pytest.approx(expect, rel=1e-6)

@@ -253,3 +253,36 @@ def test_sharded_smc_hlo_has_no_particle_allgather(mesh):
         sizes.append(int(np.prod(dims)) if dims else 1)
     assert sizes, "expected some (small) all-gathers in the sharded program"
     assert max(sizes) <= N, f"large all-gather found: {sizes}"
+
+
+def test_sharded_chees_posterior(mesh):
+    from fugue_tpu.parallel.sharded import sharded_chees_chain
+
+    res = sharded_chees_chain(
+        jax.random.PRNGKey(21), coin_model, n_samples=500, n_warmup=500,
+        n_chains=64, mesh=mesh,
+    )
+    ps = np.asarray(res.samples["p"])
+    assert ps.shape == (64, 500)
+    assert ps.mean() == pytest.approx(14 / 24, abs=0.01)
+    assert float(split_r_hat(ps[:8])) < 1.05
+    # (eps, T) consensus is replicated; trajectory stays bounded and sane
+    assert res.step_size > 0 and res.trajectory_length > 0
+    assert 1.0 <= res.mean_leapfrog <= 1024
+
+
+def test_sharded_chees_matches_quality_of_unsharded(mesh):
+    from fugue_tpu.inference.chees import chees_chain
+    from fugue_tpu.parallel.sharded import sharded_chees_chain
+
+    res_s = sharded_chees_chain(
+        jax.random.PRNGKey(2), coin_model, n_samples=400, n_warmup=400,
+        n_chains=32, mesh=mesh,
+    )
+    res_u = chees_chain(
+        jax.random.PRNGKey(2), coin_model, n_samples=400, n_warmup=400,
+        n_chains=32,
+    )
+    m_s = float(np.asarray(res_s.samples["p"]).mean())
+    m_u = float(np.asarray(res_u.samples["p"]).mean())
+    assert abs(m_s - m_u) < 0.02
