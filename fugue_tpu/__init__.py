@@ -120,6 +120,7 @@ from .inference.abc import (
 )
 from .inference.gibbs import GibbsResult, gibbs_chain
 from .inference.chees import ChEESConfig, ChEESResult, chees_chain
+from .inference.ess import ESSConfig, ESSResult, ess_chain
 from .inference.marginalize import MarginalizedModel, marginalize
 from .inference.tempering import PTConfig, PTResult, geometric_ladder, pt_chain
 from .inference.predictive import posterior_predictive, predictive
