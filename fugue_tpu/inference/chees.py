@@ -378,10 +378,18 @@ def chees_chain(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
+    init_position: Optional[Any] = None,
+    init_jitter: float = 0.05,
 ) -> ChEESResult:
     """Run ChEES-HMC: HMC whose trajectory length is learned from the chain
     batch (see module docstring). Needs ≥ ~8 chains — the ChEES gradient is
-    a cross-chain expectation; more chains → less adaptation noise."""
+    a cross-chain expectation; more chains → less adaptation noise.
+
+    ``init_position``: warm-start unconstrained position(s) — a ``(d,)``
+    point (e.g. ``MAPResult.z``) broadcast to all chains with per-chain
+    Gaussian jitter of scale ``init_jitter``, or an explicit
+    ``(n_chains, d)`` batch used as-is (passed as a traced argument, never
+    baked into the compiled drive)."""
     if staged is None:
         staged = stage(model_fn, *model_args)
     if staged.dim == 0:
@@ -399,7 +407,13 @@ def chees_chain(
         ),
     )
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 29), 3)
-    q0 = initial_positions(staged, k_init, n_chains, config.init)
+    if init_position is not None:
+        from .hmc import _warm_start_batch
+
+        q0 = _warm_start_batch(staged, k_init, n_chains, init_position,
+                               init_jitter)
+    else:
+        q0 = initial_positions(staged, k_init, n_chains, config.init)
     q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = drive(
         q0, k_eps, k_run
     )

@@ -193,3 +193,23 @@ def test_chees_gradient_matches_direct_formula():
     inner = (Qpc * np.asarray(V)).sum(1)
     expect = (w * h * dsq * inner).mean() / w.mean()
     assert got == pytest.approx(expect, rel=1e-6)
+
+
+def test_map_warm_start():
+    """MAP-then-ChEES: a (d,) warm start is jittered per chain and passed as
+    a traced argument (no retrace across distinct warm-start arrays)."""
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([0.8, 1.2]))
+
+    staged = ft.stage(model)
+    m = ft.map_estimate(jax.random.PRNGKey(0), staged=staged)
+    r1 = chees_chain(jax.random.PRNGKey(1), staged=staged, n_samples=300,
+                     n_warmup=300, n_chains=16, init_position=m.z)
+    mu = np.asarray(r1.samples["mu"]).reshape(-1)
+    assert abs(mu.mean() - 2.0 / 3.0) < 0.05
+    # distinct warm-start arrays reuse the cached executable
+    n_kernels = len(staged._kernel_cache)
+    chees_chain(jax.random.PRNGKey(2), staged=staged, n_samples=300,
+                n_warmup=300, n_chains=16, init_position=m.z + 0.01)
+    assert len(staged._kernel_cache) == n_kernels
