@@ -49,9 +49,14 @@ from .core.distributions import (
     MultivariateNormal,
     DiscreteUniform,
     Distribution,
+    EXTRA_DISTRIBUTIONS,
     Exponential,
     Gamma,
+    Geometric,
+    HalfCauchy,
+    HalfNormal,
     InverseGamma,
+    NegativeBinomial,
     Laplace,
     LogNormal,
     Normal,

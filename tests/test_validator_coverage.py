@@ -32,6 +32,12 @@ BAD_CONSTRUCTIONS = [
     (lambda: ft.ChiSquared(-2.0), "ChiSquared negative df"),
     (lambda: ft.InverseGamma(1.0, -1.0), "InverseGamma negative scale"),
     (lambda: ft.DiscreteUniform(3, 1), "DiscreteUniform inverted range"),
+    (lambda: ft.HalfNormal(-1.0), "HalfNormal negative scale"),
+    (lambda: ft.HalfCauchy(0.0), "HalfCauchy zero scale"),
+    (lambda: ft.Geometric(0.0), "Geometric zero p"),
+    (lambda: ft.Geometric(1.2), "Geometric p>1"),
+    (lambda: ft.NegativeBinomial(0.0, 0.5), "NegativeBinomial zero count"),
+    (lambda: ft.NegativeBinomial(2.0, -0.1), "NegativeBinomial negative p"),
 ]
 
 
