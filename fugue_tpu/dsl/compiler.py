@@ -76,6 +76,11 @@ DISTRIBUTIONS = {
     "chisquared": dist_mod.ChiSquared,
     "inversegamma": dist_mod.InverseGamma,
     "discreteuniform": dist_mod.DiscreteUniform,
+    # beyond-parity extras (core.distributions EXTRA_DISTRIBUTIONS)
+    "halfnormal": dist_mod.HalfNormal,
+    "halfcauchy": dist_mod.HalfCauchy,
+    "geometric": dist_mod.Geometric,
+    "negativebinomial": dist_mod.NegativeBinomial,
 }
 
 BUILTINS = {

@@ -168,3 +168,22 @@ def test_particle_filter_resamples_on_low_ess():
         est = pf.observe(y)
     assert est["ess"] > 10
     assert abs(est["mean"] - 3.0) < 0.3
+
+
+def test_dsl_extra_distributions():
+    """The beyond-parity extras are reachable from the DSL surface."""
+    import numpy as np
+    from fugue_tpu.dsl.compiler import compile_model
+    import fugue_tpu as ft
+    import jax
+
+    src = """
+let tau <- sample("tau", halfcauchy(2.0));
+observe("y", normal(0.0, tau), data[0]);
+return tau
+"""
+    cm = compile_model(src)
+    staged = ft.stage(cm.build({"data": [1.2]}))
+    res = ft.adaptive_mcmc_chain(jax.random.PRNGKey(0), staged=staged,
+                                 n_samples=200, n_warmup=200, n_chains=4)
+    assert np.isfinite(np.asarray(res.samples["tau"])).all()
