@@ -122,6 +122,10 @@ class MarginalizedModel:
                 vals.reshape((n_states,) + s.shape)
             )
         self._kernel_cache: Dict[Any, Any] = {}
+        # shadow the inner model's MH packed-proposal metadata: it is built
+        # for the INNER site list (which includes the discrete sites being
+        # marginalized here) and must never leak through __getattr__
+        self._mh_packed_meta = None
 
     # -- discrete-free site table -------------------------------------------
 

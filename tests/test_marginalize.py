@@ -216,3 +216,21 @@ def test_parts_decomposition_raises():
     marg = marginalize(_switch_model)
     with pytest.raises(StagingError, match="decompose"):
         marg.log_density_parts({"theta": jnp.array(0.0)})
+
+
+def test_mh_packed_meta_does_not_leak_from_inner_model():
+    """Regression: running MH on the raw model first used to leak its
+    packed-proposal metadata (built for the site list INCLUDING the
+    discrete sites) into the marginalized wrapper through __getattr__."""
+    staged = ft.stage(_switch_model)
+    # builds inner _mh_packed_meta for sites [theta, z]
+    ft.adaptive_mcmc_chain(jax.random.PRNGKey(0), staged=staged,
+                           n_samples=50, n_warmup=50, n_chains=4)
+    assert getattr(staged, "_mh_packed_meta", None) is not None
+    marg = marginalize(staged=staged)
+    assert marg._mh_packed_meta is None  # shadowed, not inherited
+    res = ft.adaptive_mcmc_chain(jax.random.PRNGKey(1), staged=marg,
+                                 n_samples=500, n_warmup=500, n_chains=8)
+    th = np.asarray(res.samples["theta"]).reshape(-1)
+    assert np.isfinite(th).all()
+    assert abs(th.mean() - (-0.042)) < 0.15  # quadrature truth
