@@ -820,7 +820,11 @@ class Geometric(Distribution):
             key, self._full_shape(sample_shape), settings.real_dtype(),
             1e-12, 1.0,
         )
-        k = jnp.floor(jnp.log(u) / jnp.log1p(-jnp.minimum(p, 1.0 - 1e-12)))
+        # Clamp p into (0, 1) for the inverse-CDF transform: p=0 can reach
+        # here via a traced/array probs (the scalar-only constructor check
+        # cannot see it) and would give log(u)/log1p(0) = -inf cast to int.
+        p_safe = jnp.clip(p, 1e-12, 1.0 - 1e-12)
+        k = jnp.floor(jnp.log(u) / jnp.log1p(-p_safe))
         return jnp.asarray(
             jnp.where(p >= 1.0, 0.0, k), settings.counting_dtype()
         )
@@ -830,7 +834,10 @@ class Geometric(Distribution):
         k = _real(value)
         inside = k >= 0
         sk = jnp.where(inside, k, 0.0)
-        lp = sk * jnp.log1p(-p) + jnp.log(p)
+        # Guard the sk*log1p(-p) term: at the valid edge p=1, k=0 it would
+        # evaluate 0*(-inf) = NaN; the correct mass there is log(p) = 0.
+        tail = jnp.where(sk == 0, 0.0, sk * jnp.log1p(-p))
+        lp = tail + jnp.log(p)
         return jnp.where(inside, lp, -jnp.inf)
 
 

@@ -313,11 +313,14 @@ def make_chees_drive(
             q0, da0, logT0, logT0, AdamState.init(),
             WelfordState.init(d), inv_mass0,
         )
-        if n_warmup > 0:
+        # First warmup half (skipped entirely when n_half == 0, e.g.
+        # n_warmup == 1, so exactly n_warmup transitions run and the halton
+        # sequence stays aligned with the sampling phase).
+        if n_half > 0:
             xs1 = (
-                jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1)),
-                halton[: max(n_half, 1)],
-                jnp.arange(max(n_half, 1)),
+                jax.random.split(jax.random.fold_in(k_run, 0), n_half),
+                halton[:n_half],
+                jnp.arange(n_half),
             )
             carry, _ = jax.lax.scan(warm_body, carry, xs1)
             Q1, da1, logT1, logT_bar1, adam1, welford1, _ = carry
@@ -332,7 +335,8 @@ def make_chees_drive(
                 Q1, da1, logT1, logT_bar1, adam1,
                 WelfordState.init(d), inv_mass1,
             )
-            n_rest = max(n_warmup - n_half, 1)
+        n_rest = n_warmup - n_half
+        if n_rest > 0:
             xs2 = (
                 jax.random.split(jax.random.fold_in(k_run, 1), n_rest),
                 halton[n_half : n_half + n_rest],
@@ -434,4 +438,8 @@ def chees_chain(
 
 
 def _discrete_key(discrete):
-    return None if discrete is None else tuple(sorted(discrete))
+    # Identity-based (matching hmc.py's _discrete_cache_key): the discrete
+    # VALUES are baked into the jitted drive closure as constants, so keying
+    # on site names alone would let a second call with different conditioning
+    # values silently reuse the first call's compiled kernel.
+    return None if discrete is None else id(discrete)

@@ -284,4 +284,8 @@ def ess_chain(
 
 
 def _discrete_key(discrete):
-    return None if discrete is None else tuple(sorted(discrete))
+    # Identity-based (matching hmc.py's _discrete_cache_key): the discrete
+    # VALUES are closed over in the jitted drive via make_ess_transition, so
+    # keying on names alone would make a second call with different values
+    # (e.g. alternating Gibbs sweeps) silently reuse stale conditioning.
+    return None if discrete is None else id(discrete)

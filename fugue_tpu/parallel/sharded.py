@@ -47,6 +47,13 @@ def _shard_map(f, mesh, in_specs, out_specs):
                    check_rep=False)
 
 
+def _sharded_discrete_key(discrete):
+    # Identity-based (hmc.py's _discrete_cache_key convention): discrete
+    # values are baked into the shard-mapped drive closure, so the cache key
+    # must distinguish different conditioning dicts, not just site names.
+    return None if discrete is None else id(discrete)
+
+
 def _resolve_chain_axes(mesh: Mesh, chain_axes) -> tuple:
     """Default chain axes: the named CHAIN_AXIS when present, else EVERY
     mesh axis (the pod layout: chains sharded over hosts x local devices)."""
@@ -142,7 +149,7 @@ def sharded_hmc_chain(
 
     jit_mapped = staged.cached_kernel(
         ("sharded_hmc", config, n_chains, n_samples, n_warmup, id(mesh),
-         chain_axes),
+         chain_axes, _sharded_discrete_key(discrete)),
         build_mapped,
     )
     q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = jit_mapped(q0, k_eps, k_run)
@@ -232,7 +239,7 @@ def sharded_nuts_chain(
 
     jit_mapped = staged.cached_kernel(
         ("sharded_nuts", config, n_chains, n_samples, n_warmup, id(mesh),
-         chain_axes),
+         chain_axes, _sharded_discrete_key(discrete)),
         build_mapped,
     )
     q_f, qs, aps, divs, depths, eps_final, inv_mass_f = jit_mapped(q0, k_eps, k_run)
@@ -323,7 +330,7 @@ def sharded_chees_chain(
 
     jit_mapped = staged.cached_kernel(
         ("sharded_chees", config, n_chains, n_samples, n_warmup, id(mesh),
-         chain_axes),
+         chain_axes, _sharded_discrete_key(discrete)),
         build_mapped,
     )
     q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = jit_mapped(

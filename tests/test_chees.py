@@ -213,3 +213,36 @@ def test_map_warm_start():
     chees_chain(jax.random.PRNGKey(2), staged=staged, n_samples=300,
                 n_warmup=300, n_chains=16, init_position=m.z + 0.01)
     assert len(staged._kernel_cache) == n_kernels
+
+
+def test_discrete_values_not_stale_in_kernel_cache():
+    """ADVICE r2 (high): the drive cache keyed discrete conditioning on site
+    NAMES only while the values were baked into the jitted closure, so a
+    second call on the same staged model with different values silently
+    reused the first call's kernel (stale conditioning)."""
+    def model():
+        k = ft.sample("k", ft.Bernoulli(0.5))
+        ft.sample("mu", ft.Normal(jnp.where(k, 4.0, -4.0), 0.5))
+
+    staged = ft.stage(model)
+    kw = dict(n_samples=300, n_warmup=300, n_chains=16, staged=staged)
+    r1 = chees_chain(jax.random.PRNGKey(3),
+                     discrete={"k": jnp.asarray(True)}, **kw)
+    r0 = chees_chain(jax.random.PRNGKey(3),
+                     discrete={"k": jnp.asarray(False)}, **kw)
+    assert float(np.mean(np.asarray(r1.samples["mu"]))) > 2.0
+    assert float(np.mean(np.asarray(r0.samples["mu"]))) < -2.0
+
+
+def test_n_warmup_one_runs_exactly_one_warmup_transition():
+    """ADVICE r2 (low): n_warmup=1 used to force both warmup scans to one
+    iteration each (two transitions), consuming halton[0] twice and
+    misaligning the sampling phase's jitter offset."""
+    def model():
+        ft.sample("mu", ft.Normal(0.0, 1.0))
+
+    for nw in (0, 1, 2, 3):
+        r = chees_chain(jax.random.PRNGKey(5), model, n_samples=16,
+                        n_warmup=nw, n_chains=8)
+        assert r.samples["mu"].shape == (8, 16)
+        assert np.all(np.isfinite(np.asarray(r.log_joint)))

@@ -243,3 +243,26 @@ def test_extra_distributions_in_engines():
     res2 = ft.hmc_chain(jax.random.PRNGKey(1), nb_model, n_samples=500,
                         n_warmup=500, n_chains=8)
     assert np.isfinite(np.asarray(res2.samples["r"])).all()
+
+
+def test_geometric_edge_cases():
+    """ADVICE r2 (low): p=1, k=0 is a valid point with mass 1 — the
+    sk*log1p(-p) term used to evaluate 0*(-inf)=NaN; and an array probs
+    containing ~0 bypasses the scalar constructor check, so sample() must
+    clamp rather than emit log(u)/log1p(-0) = -inf cast to int."""
+    g1 = ft.Geometric(jnp.array(1.0))
+    assert float(g1.log_prob(jnp.array(0))) == 0.0        # P[k=0 | p=1] = 1
+    assert float(g1.log_prob(jnp.array(1))) == -np.inf    # impossible
+    assert int(g1.sample(jax.random.PRNGKey(0))) == 0
+
+    # traced/array probs containing a zero: finite non-negative samples
+    ga = ft.Geometric(jnp.array([0.0, 0.5, 1.0]))
+    s = np.asarray(ga.sample(jax.random.PRNGKey(1)))
+    assert s.shape == (3,)
+    assert np.all(s >= 0)
+    assert np.all(np.isfinite(s.astype(np.float64)))
+    # p=0 entry: log_prob stays -inf-free for k>=0 in the tail term sense
+    lp = np.asarray(ft.Geometric(jnp.array([1.0, 0.5])).log_prob(
+        jnp.array([0, 2])))
+    assert lp[0] == 0.0
+    assert np.isfinite(lp[1])

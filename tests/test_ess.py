@@ -124,3 +124,25 @@ def test_seed_reproducibility():
     np.testing.assert_array_equal(
         np.asarray(r1.final_flat), np.asarray(r2.final_flat)
     )
+
+
+def test_discrete_values_not_stale_in_kernel_cache():
+    """ADVICE r2 (high): ess_chain's drive cache keyed discrete conditioning
+    on site NAMES only while the values were closed over in the jitted
+    transition, so alternating Gibbs-style calls on one staged model silently
+    reused the first call's stale conditioning."""
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        k = ft.sample("k", ft.Bernoulli(0.5))
+        ft.observe("y", ft.Normal(mu + jnp.where(k, 3.0, -3.0), 0.5),
+                   jnp.array(0.0))
+
+    staged = ft.stage(model)
+    kw = dict(n_samples=800, n_warmup=100, n_chains=16, staged=staged)
+    r1 = ess_chain(jax.random.PRNGKey(3),
+                   discrete={"k": jnp.asarray(True)}, **kw)
+    r0 = ess_chain(jax.random.PRNGKey(3),
+                   discrete={"k": jnp.asarray(False)}, **kw)
+    # posterior mean of mu is -(y-shift) shrunk: +/- 12/4.25 ~= +/-2.82
+    assert float(np.mean(np.asarray(r1.samples["mu"]))) < -2.0
+    assert float(np.mean(np.asarray(r0.samples["mu"]))) > 2.0
