@@ -45,7 +45,7 @@ targets).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -264,8 +264,14 @@ def make_chees_drive(
         V_end = jax.vmap(lambda p: mass_velocity(inv_mass, p))(P_end)
         return chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean)
 
-    def drive(q0, k_eps, k_run):
-        if config.step_size is not None:
+    def drive(q0, k_eps, k_run, eps_over=None, T_over=None,
+              inv_mass_over=None):
+        # runtime (traced) overrides for the resume path: one executable
+        # serves every resumed (step size, trajectory length, mass) triple
+        # — the make_hmc_drive convention
+        if eps_over is not None:
+            eps0 = jnp.asarray(eps_over, dt)
+        elif config.step_size is not None:
             eps0 = jnp.asarray(config.step_size, dt)
         else:
             eps0 = find_reasonable_epsilon(
@@ -275,8 +281,10 @@ def make_chees_drive(
                 eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
         da0 = DualAveragingState.init(eps0)
         # T starts at one step and grows under the ChEES gradient
-        logT0 = jnp.log(eps0)
-        inv_mass0 = jnp.ones((d,), dt)
+        logT0 = (jnp.log(jnp.asarray(T_over, dt)) if T_over is not None
+                 else jnp.log(eps0))
+        inv_mass0 = (jnp.ones((d,), dt) if inv_mass_over is None
+                     else jnp.asarray(inv_mass_over, dt))
 
         def warm_body(carry, xs):
             Q, da, logT, logT_bar, adam, welford, inv_mass = carry
@@ -382,12 +390,20 @@ def chees_chain(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
+    resume: Optional["ChEESResult"] = None,
     init_position: Optional[Any] = None,
     init_jitter: float = 0.05,
 ) -> ChEESResult:
     """Run ChEES-HMC: HMC whose trajectory length is learned from the chain
     batch (see module docstring). Needs ≥ ~8 chains — the ChEES gradient is
     a cross-chain expectation; more chains → less adaptation noise.
+
+    ``resume``: a previous ``ChEESResult`` (or any object with
+    ``final_positions``, ``step_size``, ``trajectory_length``,
+    ``inv_mass``) — sampling continues from its final state with the
+    warmed kernel (warmup skipped, adaptation frozen; the reference's
+    all-state-in-a-value discipline, hmc.rs:604-642). Combine with
+    ``runtime.checkpoint`` for persistence.
 
     ``init_position``: warm-start unconstrained position(s) — a ``(d,)``
     point (e.g. ``MAPResult.z``) broadcast to all chains with per-chain
@@ -400,9 +416,29 @@ def chees_chain(
         raise ValueError("model has no continuous latent sites; use MH")
     dt = settings.real_dtype()
 
-    drive = staged.cached_kernel(
+    if resume is not None and init_position is not None:
+        raise ValueError(
+            "pass either resume= or init_position=, not both — resume "
+            "continues from its own final positions and would silently "
+            "ignore the warm start"
+        )
+    if resume is not None:
+        config = replace(config, step_size=None, adapt_step_size=False,
+                         adapt_mass=False)
+        n_warmup = 0
+        q_resume = jnp.asarray(resume.final_positions, dt)
+        if q_resume.shape != (n_chains, staged.dim):
+            raise ValueError(
+                f"resume positions {q_resume.shape} do not match "
+                f"(n_chains={n_chains}, d={staged.dim})"
+            )
+        mode = "resume"
+    else:
+        mode = None
+
+    inner = staged.cached_kernel(
         ("chees", config, n_chains, n_samples, n_warmup,
-         _discrete_key(discrete), None),
+         _discrete_key(discrete), mode),
         lambda: jax.jit(
             make_chees_drive(
                 staged, config, n_chains, n_samples, n_warmup,
@@ -411,16 +447,24 @@ def chees_chain(
         ),
     )
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 29), 3)
-    if init_position is not None:
-        from .hmc import _warm_start_batch
-
-        q0 = _warm_start_batch(staged, k_init, n_chains, init_position,
-                               init_jitter)
+    if mode == "resume":
+        q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = inner(
+            q_resume, k_eps, k_run,
+            eps_over=jnp.asarray(resume.step_size, dt),
+            T_over=jnp.asarray(resume.trajectory_length, dt),
+            inv_mass_over=jnp.asarray(resume.inv_mass, dt),
+        )
     else:
-        q0 = initial_positions(staged, k_init, n_chains, config.init)
-    q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = drive(
-        q0, k_eps, k_run
-    )
+        if init_position is not None:
+            from .hmc import _warm_start_batch
+
+            q0 = _warm_start_batch(staged, k_init, n_chains, init_position,
+                                   init_jitter)
+        else:
+            q0 = initial_positions(staged, k_init, n_chains, config.init)
+        q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = inner(
+            q0, k_eps, k_run
+        )
     positions = jnp.moveaxis(qs, 0, 1)  # (chains, samples, d)
     samples = constrain_positions(staged, positions)
     return ChEESResult(

@@ -27,7 +27,7 @@ chain's while_loops are masked lock-step lanes in one compiled kernel.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Any, Callable, Dict, Optional
 
@@ -827,11 +827,19 @@ def make_nuts_drive_async(
             final["deps"],
         )
 
-    def drive(q0, k_eps, k_run):
-        if config.step_size is not None:
+    def drive(q0, k_eps, k_run, eps_over=None, inv_mass_over=None):
+        # ``eps_over``/``inv_mass_over``: runtime (traced) overrides so the
+        # resume path doesn't bake arrays into the jitted closure (one
+        # executable serves every resumed step size / mass matrix; the
+        # hmc.make_hmc_drive convention).
+        im0 = (inv_mass0 if inv_mass_over is None
+               else jnp.asarray(inv_mass_over, dt))
+        if eps_over is not None:
+            eps0 = jnp.asarray(eps_over, dt)
+        elif config.step_size is not None:
             eps0 = jnp.asarray(config.step_size, dt)
         else:
-            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
+            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, im0)
             if chain_axis is not None:
                 eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
         da0 = DualAveragingState.init(eps0)
@@ -839,13 +847,13 @@ def make_nuts_drive_async(
         u0, g0 = jax.vmap(vg_fn)(q0)
         ema0 = jnp.full((n_chains,), 0.5, dt)
         n_half = n_warmup // 2
-        inv_mass_f = inv_mass0
+        inv_mass_f = im0
         q_w, u_w, g_w, da_w = q0, u0, g0, da0
 
         if n_warmup > 0:
             q1, _, _, ema1, da1, w1 = run_phase(
                 q0, u0, g0, ema0, jax.random.fold_in(k_run, 0),
-                da0, WelfordState.init(d, dense), inv_mass0, n_half,
+                da0, WelfordState.init(d, dense), im0, n_half,
             )
             q1 = rescue_stuck(q1, ema1, jax.random.fold_in(k_run, 91))
             if config.adapt_mass:
@@ -855,7 +863,7 @@ def make_nuts_drive_async(
                              else welford_variance(w1))
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
             else:
-                inv_mass1 = inv_mass0
+                inv_mass1 = im0
             u1, g1 = jax.vmap(vg_fn)(q1)
             q2, _, _, ema2, da2, _ = run_phase(
                 q1, u1, g1, jnp.full((n_chains,), 0.5, dt),
@@ -954,11 +962,17 @@ def make_nuts_drive(
     dense = config.mass == "dense"
     inv_mass0 = jnp.eye(d, dtype=dt) if dense else jnp.ones((d,), dt)
 
-    def drive(q0, k_eps, k_run):
-        if config.step_size is not None:
+    def drive(q0, k_eps, k_run, eps_over=None, inv_mass_over=None):
+        # runtime (traced) overrides for the resume path — see
+        # make_hmc_drive/make_nuts_drive_async
+        im0 = (inv_mass0 if inv_mass_over is None
+               else jnp.asarray(inv_mass_over, dt))
+        if eps_over is not None:
+            eps0 = jnp.asarray(eps_over, dt)
+        elif config.step_size is not None:
             eps0 = jnp.asarray(config.step_size, dt)
         else:
-            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, inv_mass0)
+            eps0 = find_reasonable_epsilon(potential, q0[0], k_eps, im0)
             if chain_axis is not None:
                 # consensus initial step size across shards
                 eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
@@ -993,7 +1007,7 @@ def make_nuts_drive(
             return jnp.where(stuck[:, None], q[donors], q)
 
         n_half = n_warmup // 2
-        carry = (q0, da0, WelfordState.init(d, dense), inv_mass0,
+        carry = (q0, da0, WelfordState.init(d, dense), im0,
                  jnp.full((n_chains,), 0.5, dt))
         if n_warmup > 0:
             keys1 = jax.random.split(jax.random.fold_in(k_run, 0), max(n_half, 1))
@@ -1009,7 +1023,7 @@ def make_nuts_drive(
                              else welford_variance(w1))
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
             else:
-                inv_mass1 = inv_mass0
+                inv_mass1 = im0
             carry = (q1, da1, WelfordState.init(d, dense), inv_mass1,
                      jnp.full((n_chains,), 0.5, dt))
             keys2 = jax.random.split(
@@ -1052,12 +1066,19 @@ def nuts_chain(
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
     chain_axis: Optional[str] = None,
+    resume: Optional["NUTSResult"] = None,
     init_position: Optional[Any] = None,
     init_jitter: float = 0.05,
 ) -> NUTSResult:
     """NUTS with the same cross-chain warmup schedule as ``hmc_chain``
     (dual averaging on the trajectory-averaged acceptance statistic; Welford
     diagonal mass with midpoint reset).
+
+    ``resume``: a previous ``NUTSResult`` (or any object with
+    ``final_positions``, ``step_size``, ``inv_mass``) — sampling continues
+    from its final state with the warmed kernel (warmup skipped, adaptation
+    frozen; the reference's all-state-in-a-value discipline,
+    hmc.rs:604-642). Combine with ``runtime.checkpoint`` for persistence.
 
     ``init_position``: warm-start unconstrained position(s) — a ``(d,)``
     point (e.g. ``MAPResult.z``) broadcast with per-chain jitter, or an
@@ -1067,11 +1088,6 @@ def nuts_chain(
     if staged.dim == 0:
         raise ValueError("model has no continuous latent sites; use MH")
 
-    drive = make_nuts_drive(
-        staged, config, n_chains, n_samples, n_warmup,
-        discrete=discrete, chain_axis=chain_axis,
-    )
-
     from .hmc import (
         _discrete_cache_key,
         _warm_start_batch,
@@ -1079,14 +1095,48 @@ def nuts_chain(
         initial_positions,
     )
 
-    if init_position is not None:
-        init_q = jnp.asarray(init_position, settings.real_dtype())
+    dt = settings.real_dtype()
+    if resume is not None and init_position is not None:
+        raise ValueError(
+            "pass either resume= or init_position=, not both — resume "
+            "continues from its own final positions and would silently "
+            "ignore the warm start"
+        )
+
+    if resume is not None:
+        config = replace(
+            config, step_size=None, adapt_step_size=False, adapt_mass=False
+        )
+        n_warmup = 0
+        q_resume = jnp.asarray(resume.final_positions, dt)
+        if q_resume.shape != (n_chains, staged.dim):
+            raise ValueError(
+                f"resume positions {q_resume.shape} do not match "
+                f"(n_chains={n_chains}, d={staged.dim})"
+            )
+        mode = "resume"
+    elif init_position is not None:
+        init_q = jnp.asarray(init_position, dt)
         mode = ("warm", init_q.ndim, float(init_jitter))
     else:
         mode = "fresh"
 
+    drive = make_nuts_drive(
+        staged, config, n_chains, n_samples, n_warmup,
+        discrete=discrete, chain_axis=chain_axis,
+    )
+
     def build_full():
-        if mode == "fresh":
+        if mode == "resume":
+            # eps/mass/positions flow in as runtime arguments so repeated
+            # resumes share ONE compiled executable (no baked arrays)
+            def full(k, q0, eps0, im0):
+                _, k_eps, k_run = jax.random.split(
+                    jax.random.fold_in(k, 11), 3
+                )
+                return drive(q0, k_eps, k_run, eps_over=eps0,
+                             inv_mass_over=im0)
+        elif mode == "fresh":
             def full(k):
                 k_init, k_eps, k_run = jax.random.split(
                     jax.random.fold_in(k, 11), 3
@@ -1113,7 +1163,12 @@ def nuts_chain(
          _discrete_cache_key(discrete), mode),
         build_full,
     )
-    if mode == "fresh":
+    if mode == "resume":
+        out = full_drive(
+            key, q_resume, jnp.asarray(resume.step_size, dt),
+            jnp.asarray(resume.inv_mass, dt),
+        )
+    elif mode == "fresh":
         out = full_drive(key)
     else:
         out = full_drive(key, init_q)

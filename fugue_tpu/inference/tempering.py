@@ -65,29 +65,22 @@ def geometric_ladder(n_temps: int, beta_min: float):
     return jnp.asarray(r, settings.real_dtype())
 
 
-def pt_chain(
-    key,
-    model_fn: Optional[Callable] = None,
-    n_samples: int = 1000,
-    n_warmup: int = 1000,
-    config: PTConfig = PTConfig(),
+def make_pt_drive(
+    staged: StagedModel,
+    config: PTConfig,
+    n_chains: int,
+    n_samples: int,
+    n_warmup: int,
     *,
-    n_chains: int = 8,
-    model_args: tuple = (),
-    staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
-) -> PTResult:
-    """Replica-exchange HMC. Returns β=1 samples; hot rungs are machinery.
-
-    Exactness: each rung's HMC transition is π_β-invariant, and the swap
-    move satisfies detailed balance for the product measure Π_k π_{β_k}, so
-    the β=1 marginal is the exact posterior regardless of ladder quality —
-    a bad ladder only costs mixing speed.
-    """
-    if staged is None:
-        staged = stage(model_fn, *model_args)
-    if staged.dim == 0:
-        raise ValueError("model has no continuous latent sites; use MH")
+    chain_axis: Optional[str] = None,
+):
+    """Pure ``key → arrays`` replica-exchange program — the
+    ``make_hmc_drive`` factory contract, so the one program jits on a chip
+    OR runs inside ``shard_map`` with the CHAIN axis sharded over
+    ``chain_axis`` (the β ladder is replicated per shard; swaps are
+    rung-axis gathers, chain-local, so no collective moves positions — only
+    the per-rung ε adaptation statistic reduces with ``pmean``)."""
     dt = settings.real_dtype()
     K, C, d = config.n_temps, n_chains, staged.dim
     betas = geometric_ladder(K, config.beta_min)
@@ -103,6 +96,14 @@ def pt_chain(
 
     def lik_of(z):
         return parts_at(z)[1]
+
+    def cmean_chains(x):
+        # mean over the chain axis (axis 1 of (K, C)), cross-shard when
+        # the chain batch is a named mesh axis
+        m = jnp.mean(x, axis=1)
+        if chain_axis is not None:
+            m = jax.lax.pmean(m, chain_axis)
+        return m
 
     def build():
         inv_mass = jnp.ones((d,), dt)
@@ -154,8 +155,10 @@ def pt_chain(
             q, info = hmc_phase(q, eps, k_hmc)
             ll = jax.vmap(jax.vmap(lik_of))(q)
             q, ll, pair_acc = swap_phase(q, ll, t % 2, k_swap)
-            # per-rung Robbins-Monro ε adaptation (warmup only)
-            acc_k = jnp.mean(info.accept_prob, axis=1)  # (K,)
+            # per-rung Robbins-Monro ε adaptation (warmup only); the
+            # acceptance statistic is cross-chain (and cross-shard) so
+            # every device adapts the same per-rung kernel
+            acc_k = cmean_chains(info.accept_prob)  # (K,)
             gain = jnp.where(adapting, jnp.power(t + 1.0, -0.6), 0.0)
             eps = eps * jnp.exp(gain * (acc_k - config.target_accept))
             return (q, eps, ll), (q[-1], acc_k, pair_acc)
@@ -178,15 +181,12 @@ def pt_chain(
             )
             return q_f, eps_f, q1s[n_warmup:], accs[n_warmup:], pair_accs[n_warmup:]
 
-        return jax.jit(drive)
+        return drive
 
-    drive = staged.cached_kernel(
-        ("pt_drive", config, n_chains, n_samples, n_warmup,
-         None if discrete is None else tuple(sorted(discrete))),
-        build,
-    )
-    q_f, eps_f, q1s, accs, pair_accs = drive(key)
+    return build()
 
+
+def _pt_result(staged, betas, q_f, eps_f, q1s, accs, pair_accs) -> PTResult:
     positions = jnp.moveaxis(q1s, 0, 1)  # (C, n_samples, d)
     # drop the last rung (never a pair-left index; all-NaN) BEFORE nanmean
     swap_rate = np.nanmean(np.asarray(pair_accs)[:, :-1, :], axis=(0, 2))
@@ -199,3 +199,47 @@ def pt_chain(
         step_size=eps_f,
         final_positions=q_f,
     )
+
+
+def pt_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 1000,
+    config: PTConfig = PTConfig(),
+    *,
+    n_chains: int = 8,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+) -> PTResult:
+    """Replica-exchange HMC. Returns β=1 samples; hot rungs are machinery.
+
+    Exactness: each rung's HMC transition is π_β-invariant, and the swap
+    move satisfies detailed balance for the product measure Π_k π_{β_k}, so
+    the β=1 marginal is the exact posterior regardless of ladder quality —
+    a bad ladder only costs mixing speed.
+
+    Sharded variant: ``fugue_tpu.parallel.sharded_pt_chain`` runs this
+    drive inside ``shard_map`` with the chain batch on a mesh axis.
+    """
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if staged.dim == 0:
+        raise ValueError("model has no continuous latent sites; use MH")
+
+    drive = staged.cached_kernel(
+        ("pt_drive", config, n_chains, n_samples, n_warmup,
+         # identity-keyed: discrete VALUES are baked into the drive closure
+         # (hmc.py _discrete_cache_key convention)
+         None if discrete is None else id(discrete)),
+        lambda: jax.jit(
+            make_pt_drive(
+                staged, config, n_chains, n_samples, n_warmup,
+                discrete=discrete,
+            )
+        ),
+    )
+    out = drive(key)
+    betas = geometric_ladder(config.n_temps, config.beta_min)
+    return _pt_result(staged, betas, *out)

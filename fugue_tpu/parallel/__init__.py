@@ -18,8 +18,10 @@ from .mesh import (
 )
 from .sharded import (
     sharded_chees_chain,
+    sharded_ess_chain,
     sharded_hmc_chain,
     sharded_nuts_chain,
+    sharded_pt_chain,
     sharded_smc,
 )
 
@@ -37,7 +39,9 @@ __all__ = [
     "make_pod_chain_mesh",
     "replicated",
     "sharded_chees_chain",
+    "sharded_ess_chain",
     "sharded_hmc_chain",
     "sharded_nuts_chain",
+    "sharded_pt_chain",
     "sharded_smc",
 ]

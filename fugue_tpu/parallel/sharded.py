@@ -378,3 +378,172 @@ def sharded_smc(
         key, n_particles, model_fn, config,
         model_args=model_args, staged=staged, mesh=mesh,
     )
+
+
+def sharded_pt_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 1000,
+    config=None,
+    *,
+    n_chains: int = 8,
+    mesh: Optional[Mesh] = None,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axes=None,
+):
+    """Replica-exchange HMC with the CHAIN batch sharded across ``mesh``.
+
+    The β ladder is replicated on every shard (swaps are rung-axis gathers
+    between a shard's own chains — chain-local, zero collectives); only the
+    per-rung ε-adaptation acceptance statistic reduces over the mesh with
+    ``pmean``, so every device adapts the same per-rung kernel
+    (VERDICT r2 item 7)."""
+    from ..inference.tempering import (
+        PTConfig, _pt_result, geometric_ladder, make_pt_drive,
+    )
+
+    if config is None:
+        config = PTConfig()
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if mesh is None:
+        mesh = make_chain_mesh()
+    chain_axes = _resolve_chain_axes(mesh, chain_axes)
+    ax_el = _chain_spec_element(chain_axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in chain_axes]))
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
+    per_shard = n_chains // n_dev
+
+    drive = make_pt_drive(
+        staged, config, per_shard, n_samples, n_warmup,
+        discrete=discrete, chain_axis=ax_el,
+    )
+
+    def shard_fn(k):
+        idx = flat_axis_index(mesh, chain_axes)
+        return drive(jax.random.fold_in(k, idx))
+
+    def build_mapped():
+        mapped = _shard_map(
+            shard_fn,
+            mesh,
+            in_specs=(P(),),
+            out_specs=(
+                P(None, ax_el, None),   # q_f (K, chains, d)
+                P(None,),               # eps_f (K,) — pmean-consensus
+                P(None, ax_el, None),   # q1s (n_samples, chains, d) at beta=1
+                P(None, None),          # accs (n_samples, K) — cross-shard mean
+                P(None, None, ax_el),   # pair_accs (n_samples, K, chains)
+            ),
+        )
+        return jax.jit(mapped)
+
+    jit_mapped = staged.cached_kernel(
+        ("sharded_pt", config, n_chains, n_samples, n_warmup, id(mesh),
+         chain_axes, _sharded_discrete_key(discrete)),
+        build_mapped,
+    )
+    out = jit_mapped(key)
+    betas = geometric_ladder(config.n_temps, config.beta_min)
+    return _pt_result(staged, betas, *out)
+
+
+def sharded_ess_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 200,
+    config=None,
+    *,
+    n_chains: int = 64,
+    mesh: Optional[Mesh] = None,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete: Optional[Dict[str, Any]] = None,
+    chain_axes=None,
+):
+    """Elliptical slice sampling with chains sharded across ``mesh``.
+
+    ESS is tuning-free (nothing adapts), so chains are embarrassingly
+    parallel: the only cross-shard discipline is the per-shard key fold,
+    which keeps draw streams independent of the sharding layout
+    (VERDICT r2 item 7)."""
+    from ..inference.ess import (
+        ESSConfig, ESSResult, _gaussian_prior_means, make_ess_transition,
+    )
+    from ..core.rng import chain_keys as _chain_keys
+
+    if config is None:
+        config = ESSConfig()
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if mesh is None:
+        mesh = make_chain_mesh()
+    chain_axes = _resolve_chain_axes(mesh, chain_axes)
+    ax_el = _chain_spec_element(chain_axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in chain_axes]))
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
+    per_shard = n_chains // n_dev
+    dt = settings.real_dtype()
+
+    mu = staged.cached_kernel(
+        ("ess_mu",), lambda: _gaussian_prior_means(staged).astype(dt)
+    )
+    transition = make_ess_transition(staged, mu, config, discrete)
+
+    def shard_fn(key):
+        idx = flat_axis_index(mesh, chain_axes)
+        k_init, k_run = jax.random.split(
+            jax.random.fold_in(jax.random.fold_in(key, 31), idx)
+        )
+        f0 = jax.vmap(
+            lambda k: staged.flatten_constrained(staged.sample_prior(k))
+        )(_chain_keys(k_init, per_shard)).astype(dt)
+        vstep = jax.vmap(transition, in_axes=(0, 0))
+
+        def body(f, k):
+            keys = jax.random.split(k, per_shard)
+            f_new, ll, iters = vstep(f, keys)
+            return f_new, (f_new, ll, iters)
+
+        keys = jax.random.split(k_run, n_warmup + n_samples)
+        f_f, (fs, lls, iters) = jax.lax.scan(body, f0, keys)
+        return f_f, fs[n_warmup:], lls[n_warmup:], iters
+
+    def build_mapped():
+        mapped = _shard_map(
+            shard_fn,
+            mesh,
+            in_specs=(P(),),
+            out_specs=(
+                P(ax_el, None),         # f_f (chains, d)
+                P(None, ax_el, None),   # fs (n_samples, chains, d)
+                P(None, ax_el),         # lls
+                P(None, ax_el),         # iters (n_total, chains)
+            ),
+        )
+        return jax.jit(mapped)
+
+    jit_mapped = staged.cached_kernel(
+        ("sharded_ess", config, n_chains, n_samples, n_warmup, id(mesh),
+         chain_axes, _sharded_discrete_key(discrete)),
+        build_mapped,
+    )
+    f_f, fs, lls, iters = jit_mapped(key)
+
+    positions = jnp.moveaxis(fs, 0, 1)
+    unflat = staged.cached_kernel(
+        ("ess_unflatten",),
+        lambda: jax.jit(jax.vmap(jax.vmap(staged.unflatten_constrained))),
+    )
+    return ESSResult(
+        samples=unflat(positions),
+        log_lik=jnp.moveaxis(lls, 0, 1),
+        mean_shrink_iters=float(np.asarray(jnp.mean(iters.astype(dt)))),
+        final_flat=f_f,
+    )

@@ -246,3 +246,50 @@ def test_n_warmup_one_runs_exactly_one_warmup_transition():
                         n_warmup=nw, n_chains=8)
         assert r.samples["mu"].shape == (8, 16)
         assert np.all(np.isfinite(np.asarray(r.log_joint)))
+
+
+def test_resume_continues_with_warmed_kernel():
+    """VERDICT r2 item 8: resume= parity — (positions, step size, learned
+    trajectory length, mass) persist through a value; split 2x500 matches
+    the conjugate posterior; repeated resumes share one executable."""
+    ys = jnp.array([1.2, 0.8, 1.5, 0.9, 1.1])
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("ys", ft.Normal(mu, 1.0), ys)
+
+    staged = ft.stage(model)
+    first = chees_chain(jax.random.PRNGKey(0), staged=staged,
+                        n_samples=500, n_warmup=500, n_chains=16)
+    second = chees_chain(jax.random.PRNGKey(1), staged=staged,
+                         n_samples=500, n_warmup=0, n_chains=16,
+                         resume=first)
+    assert second.step_size == pytest.approx(first.step_size, rel=1e-6)
+    assert second.trajectory_length == pytest.approx(
+        first.trajectory_length, rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(second.positions[:, 0, 0]).mean(),
+        np.asarray(first.final_positions[:, 0]).mean(), atol=0.5,
+    )
+    tau = 0.25 + 5.0
+    combined = np.concatenate(
+        [np.asarray(first.samples["mu"]), np.asarray(second.samples["mu"])],
+        axis=1,
+    )
+    assert combined.mean() == pytest.approx(float(ys.sum()) / tau, abs=0.03)
+    assert combined.var() == pytest.approx(1.0 / tau, rel=0.2)
+    n_cached = len(staged._kernel_cache)
+
+    class Warm2:
+        final_positions = first.final_positions + 0.01
+        inv_mass = first.inv_mass
+        step_size = first.step_size * 0.9
+        trajectory_length = first.trajectory_length
+
+    chees_chain(jax.random.PRNGKey(2), staged=staged, n_samples=500,
+                n_warmup=0, n_chains=16, resume=Warm2())
+    assert len(staged._kernel_cache) == n_cached
+    with pytest.raises(ValueError, match="not both"):
+        chees_chain(jax.random.PRNGKey(3), staged=staged, n_samples=10,
+                    n_warmup=0, n_chains=16, resume=first,
+                    init_position=np.zeros(1))

@@ -286,3 +286,72 @@ def test_sharded_chees_matches_quality_of_unsharded(mesh):
     m_s = float(np.asarray(res_s.samples["p"]).mean())
     m_u = float(np.asarray(res_u.samples["p"]).mean())
     assert abs(m_s - m_u) < 0.02
+
+
+def test_sharded_pt_posterior(mesh):
+    """PT with the chain batch sharded: bimodal target mixes; the beta=1
+    marginal matches the exact mixture weights (VERDICT r2 item 7)."""
+    from fugue_tpu.parallel.sharded import sharded_pt_chain
+    from fugue_tpu.inference.tempering import PTConfig
+
+    def bimodal():
+        x = ft.sample("x", ft.Normal(0.0, 10.0))
+        # likelihood: mixture of N(-3, .5) and N(3, .5), weights .5/.5
+        lp = jnp.logaddexp(
+            ft.Normal(-3.0, 0.5).log_prob(x), ft.Normal(3.0, 0.5).log_prob(x)
+        ) + jnp.log(0.5)
+        ft.factor(lp)
+
+    res = sharded_pt_chain(
+        jax.random.PRNGKey(0), bimodal, n_samples=400, n_warmup=300,
+        config=PTConfig(n_temps=6, beta_min=0.05, n_leapfrog=8),
+        n_chains=16, mesh=mesh,
+    )
+    xs = np.asarray(res.samples["x"]).reshape(-1)
+    frac_right = float((xs > 0).mean())
+    assert abs(frac_right - 0.5) < 0.15  # both modes visited, near-even
+    assert res.swap_rate.shape == (5,)
+    assert np.all(np.asarray(res.swap_rate) > 0.05)  # ladder communicates
+
+
+def test_sharded_pt_matches_single_device_statistics(mesh):
+    """Sharded and single-device PT agree on the conjugate posterior."""
+    from fugue_tpu.parallel.sharded import sharded_pt_chain
+    from fugue_tpu.inference.tempering import PTConfig, pt_chain
+
+    ys = jnp.array([1.0, 1.4, 0.6])
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        ft.observe("ys", ft.Normal(mu, 1.0), ys)
+
+    cfg = PTConfig(n_temps=4, beta_min=0.1, n_leapfrog=8)
+    post_mean = float(ys.sum()) / 4.0
+    r_sh = sharded_pt_chain(jax.random.PRNGKey(1), model, n_samples=400,
+                            n_warmup=300, config=cfg, n_chains=16, mesh=mesh)
+    r_1d = pt_chain(jax.random.PRNGKey(2), model, n_samples=400,
+                    n_warmup=300, config=cfg, n_chains=16)
+    m_sh = float(np.asarray(r_sh.samples["mu"]).mean())
+    m_1d = float(np.asarray(r_1d.samples["mu"]).mean())
+    assert m_sh == pytest.approx(post_mean, abs=0.05)
+    assert m_1d == pytest.approx(post_mean, abs=0.05)
+
+
+def test_sharded_ess_posterior(mesh):
+    """ESS chains sharded over the mesh recover the conjugate posterior;
+    per-shard key folding keeps shard draw streams distinct."""
+    from fugue_tpu.parallel.sharded import sharded_ess_chain
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(1.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array(3.0))
+
+    res = sharded_ess_chain(jax.random.PRNGKey(0), model, n_samples=600,
+                            n_warmup=100, n_chains=64, mesh=mesh)
+    x = np.asarray(res.samples["mu"])
+    assert x.shape == (64, 600)
+    post_mean, post_var = 1.0 + 0.8 * 2.0, 0.8
+    assert x.mean() == pytest.approx(post_mean, abs=0.04)
+    assert x.var() == pytest.approx(post_var, rel=0.15)
+    # shards genuinely differ (key folding worked)
+    assert not np.allclose(x[0], x[8])
