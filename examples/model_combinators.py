@@ -8,7 +8,6 @@ models programmatically.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import fugue_tpu as ft
 

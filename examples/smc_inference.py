@@ -6,8 +6,6 @@ checked against the closed-form marginal likelihood.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-import scipy.stats as st
 from scipy.special import betaln
 
 import fugue_tpu as ft

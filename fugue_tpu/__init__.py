@@ -40,6 +40,7 @@ from .core.numerics import (
 from .core.distributions import (
     ALL_DISTRIBUTIONS,
     Bernoulli,
+    BernoulliLogits,
     Beta,
     Binomial,
     Categorical,

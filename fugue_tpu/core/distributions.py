@@ -639,6 +639,37 @@ class Bernoulli(Distribution):
         return lp
 
 
+class BernoulliLogits(Distribution):
+    """Bernoulli parameterized on the log-odds scale → bool.
+
+    TPU-native extension (no reference counterpart): the numerically stable
+    likelihood for logistic models — ``log p = -softplus(∓logits)`` never
+    saturates where ``log(sigmoid(x))`` underflows, and the staged GLM
+    potential keeps the X @ w matmul feeding it directly (no intermediate
+    probability materialization)."""
+
+    support = BOOLEAN
+
+    def __init__(self, logits):
+        check_finite("logits", logits, ErrorCode.INVALID_MEAN)
+        self.logits = logits
+
+    def _params(self):
+        return (self.logits,)
+
+    def sample(self, key, sample_shape=()):
+        z = _real(self.logits)
+        return jax.random.bernoulli(
+            key, jax.nn.sigmoid(z), self._full_shape(sample_shape)
+        )
+
+    def log_prob(self, value):
+        z = _real(self.logits)
+        v = jnp.asarray(value, jnp.bool_)
+        # log σ(z) = -softplus(-z); log(1-σ(z)) = -softplus(z)
+        return jnp.where(v, -jax.nn.softplus(-z), -jax.nn.softplus(z))
+
+
 class Categorical(Distribution):
     """Categorical(probs) → index in [0, k). Reference: :655-770 (cached-CDF
     binary-search sampling, FG-53 — on TPU this is ``jax.random.categorical``
@@ -1109,7 +1140,9 @@ MULTIVARIATE_DISTRIBUTIONS = [Dirichlet, MultivariateNormal]
 
 # beyond-parity univariate extensions (not counted in the 17-way reference
 # registry below, which parity tests pin)
-EXTRA_DISTRIBUTIONS = [HalfNormal, HalfCauchy, Geometric, NegativeBinomial]
+EXTRA_DISTRIBUTIONS = [
+    HalfNormal, HalfCauchy, Geometric, NegativeBinomial, BernoulliLogits,
+]
 
 
 ALL_DISTRIBUTIONS = [

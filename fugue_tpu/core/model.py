@@ -27,7 +27,6 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .address import Address, addr
 from .distributions import Distribution
 from ..errors import unexpected_structure
 

@@ -37,10 +37,9 @@ Surface syntax (one statement per ``;`` or newline)::
 
 from __future__ import annotations
 
-import math
 import re
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 

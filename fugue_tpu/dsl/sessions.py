@@ -17,7 +17,6 @@ API; it is re-exported here.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -27,8 +26,7 @@ import numpy as np
 from .. import settings
 from ..core.rng import chain_keys
 from ..inference.hmc import HmcSession  # noqa: F401  (re-export)
-from ..inference.mcmc_utils import AdaptationState
-from ..inference.mh import MHState, init_mh_state, mh_step
+from ..inference.mh import init_mh_state, mh_step
 from ..inference.smc import SMCConfig, adaptive_smc
 from ..ops.resampling import (
     effective_sample_size,

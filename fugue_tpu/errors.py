@@ -167,7 +167,6 @@ def type_mismatch(addr: str, expected: str, actual: str) -> TypeMismatchError:
 # the compiled-code analog of a typed error.
 # ---------------------------------------------------------------------------
 
-import math
 
 
 def _is_concrete(x: Any) -> bool:

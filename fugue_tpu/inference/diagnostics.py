@@ -13,14 +13,12 @@ arrays per site — diagnostics are batched jit-compiled ops over those arrays
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Dict, List, Sequence
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from .mcmc_utils import ess, ess_multichain, geweke, r_hat, split_r_hat
+from .mcmc_utils import ess, ess_multichain, r_hat, split_r_hat
 
 # verdict thresholds (reference: diagnostics.rs:444-448)
 RHAT_EXCELLENT = 1.01

@@ -27,9 +27,8 @@ TPU-native re-design (SURVEY.md §3.3):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from dataclasses import dataclass, replace
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -31,9 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .. import settings
 from ..core.rng import chain_keys
-from ..errors import ErrorCode, FugueError, ModelStructureError, ValidationError
+from ..errors import ErrorCode, ModelStructureError, ValidationError
 from ..runtime.staging import StagedModel, stage
 from ..runtime.trace import Trace
 

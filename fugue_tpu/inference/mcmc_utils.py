@@ -15,8 +15,7 @@ pytree of per-site arrays updated functionally inside the sampling ``scan``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -34,8 +34,7 @@ capability parity at reference-like speed (SURVEY.md §7 hard part 1).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,19 +26,14 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.rng import site_key
 from ..runtime.handler import run
-from ..runtime.interpreters import (
-    PartialValuesHandler,
-    PriorHandler,
-    ReconcilingScoreGivenTrace,
-)
+from ..runtime.interpreters import PriorHandler, ReconcilingScoreGivenTrace
 from ..runtime.trace import Trace
 from .mh import make_site_proposal
 

@@ -28,7 +28,6 @@ chain's while_loops are masked lock-step lanes in one compiled kernel.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -24,7 +24,6 @@ particle axis is sharded across a mesh, ESS/evidence reductions become
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -13,8 +13,8 @@ MH/HMC/SMC/VI.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,8 @@ Beta guides as in the reference, still fully differentiable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -593,10 +593,21 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig"):
         params = guide.clamp(params)
         return (params, opt_state), -loss
 
-    # init values materialize on host ONCE at build time (cached with the
-    # kernel) and enter the program as baked constants — zero per-call
-    # transfers to the (possibly remote) device
-    params0 = jax.tree.map(np.asarray, guide.init_params())
+    # init values materialize ON HOST once at build time (cached with the
+    # kernel) and enter the program as baked constants — zero transfers to
+    # the (possibly remote) device, at build or per call. The explicit CPU
+    # default_device matters: without it every jnp op in init_params() is a
+    # round trip to the accelerator, which on a relayed TPU costs seconds
+    # per tiny array.
+    try:
+        _host = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # pragma: no cover — no CPU backend registered
+        _host = None
+    if _host is not None:
+        with jax.default_device(_host):
+            params0 = jax.tree.map(np.asarray, guide.init_params())
+    else:
+        params0 = jax.tree.map(np.asarray, guide.init_params())
 
     @jax.jit
     def run(key):

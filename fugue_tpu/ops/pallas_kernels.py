@@ -22,14 +22,12 @@ FUGUE_TPU_PALLAS env var to override.
 
 from __future__ import annotations
 
-import functools
 import math
 import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _FORCED: Optional[bool] = None
 _LANE = 128

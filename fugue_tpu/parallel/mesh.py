@@ -11,7 +11,7 @@ resampling). The reference has no distributed layer at all (Cargo.toml:48-52
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

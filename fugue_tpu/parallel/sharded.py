@@ -21,7 +21,6 @@ Both paths compile and run identically on a virtual CPU mesh
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -30,10 +29,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import settings
-from ..core.rng import chain_keys
 from ..runtime.staging import StagedModel, stage
 from .distributed import flat_axis_index
-from .mesh import CHAIN_AXIS, chain_sharding, make_chain_mesh
+from .mesh import CHAIN_AXIS, make_chain_mesh
 
 
 def _shard_map(f, mesh, in_specs, out_specs):

@@ -19,7 +19,7 @@ stages the whole execution into one XLA program.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Tuple
 
 from ..core.model import Model, _HandlerScope
 from ..runtime.trace import Trace

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import warnings
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Set, Tuple
+from typing import Any, Dict, List, Set
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..errors import (
     unexpected_structure,
 )
 from .handler import Handler
-from .trace import Choice, Trace, kind_of
+from .trace import Choice, Trace
 
 
 def _accum_sum(log_prob):

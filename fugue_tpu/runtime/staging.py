@@ -26,7 +26,6 @@ errors when the site table observed during a replay disagrees with discovery.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -35,7 +34,6 @@ import numpy as np
 
 from .. import settings
 from ..core.distributions import Support
-from ..core.rng import site_key
 from ..core.transforms import Transform, transform_for_support
 from ..errors import StagingError, ErrorCode
 from .handler import run

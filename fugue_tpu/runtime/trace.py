@@ -16,13 +16,11 @@ reference's BTreeMap ordering guarantee (FG-05).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 
-from .. import settings
-from ..core.address import Address
 from ..core.distributions import Support
 from ..errors import trace_address_not_found, type_mismatch
 

@@ -1,0 +1,142 @@
+"""Stdlib line-coverage for fugue_tpu (no pytest-cov in the baked image).
+
+Uses PEP 669 ``sys.monitoring`` LINE events with per-location DISABLE, so
+after the first hit a line costs nothing — the suite runs near full speed,
+including under pytest-xdist (each worker records its own hit file; this
+tool merges them).
+
+Usage:
+    python scripts/coverage_tool.py run [pytest args...]   # run + report
+    python scripts/coverage_tool.py report                 # merge + report
+
+The enforced bar mirrors the reference's Makefile:13-14 (80% lines).
+Exclusions: lines tagged ``# pragma: no cover`` and whole files listed in
+OMIT (TPU-only Pallas kernels are exercised behind FUGUE_TPU_PALLAS=1, not
+in the CPU suite).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "fugue_tpu")
+HITS_DIR = os.path.join(REPO, ".coverage_fugue")
+BAR = 80.0
+OMIT = {
+    # measured-and-defaulted-off TPU kernels (benchmarks/PALLAS_PROBE.json);
+    # exercised only under FUGUE_TPU_PALLAS=1 on a real chip
+    os.path.join(PKG, "ops", "pallas_kernels.py"),
+}
+
+
+def _code_lines(code) -> set:
+    lines = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        for _, _, line in c.co_lines():
+            if line is not None and line > 0:
+                lines.add(line)
+        for const in c.co_consts:
+            if hasattr(const, "co_lines"):
+                stack.append(const)
+    return lines
+
+
+def executable_lines(path: str) -> set:
+    with open(path, "r") as f:
+        src = f.read()
+    code = compile(src, path, "exec")
+    lines = _code_lines(code)
+    src_lines = src.splitlines()
+    # pragma exclusions + module docstring/def/class headers stay countable;
+    # drop lines explicitly tagged no-cover
+    for i, text in enumerate(src_lines, 1):
+        if "pragma: no cover" in text:
+            lines.discard(i)
+    return lines
+
+
+def iter_sources():
+    for root, _dirs, files in os.walk(PKG):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                if p not in OMIT:
+                    yield p
+
+
+def merge_hits() -> dict:
+    merged: dict = {}
+    if not os.path.isdir(HITS_DIR):
+        return merged
+    for f in os.listdir(HITS_DIR):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(HITS_DIR, f)) as fh:
+            data = json.load(fh)
+        for path, lines in data.items():
+            merged.setdefault(path, set()).update(lines)
+    return merged
+
+
+def report() -> int:
+    hits = merge_hits()
+    rows = []
+    tot_exec = tot_hit = 0
+    for path in iter_sources():
+        ex = executable_lines(path)
+        hit = hits.get(path, set()) & ex
+        tot_exec += len(ex)
+        tot_hit += len(hit)
+        pct = 100.0 * len(hit) / max(len(ex), 1)
+        rows.append((os.path.relpath(path, REPO), len(ex), len(hit), pct))
+    rows.sort(key=lambda r: r[3])
+    width = max(len(r[0]) for r in rows)
+    for name, n_ex, n_hit, pct in rows:
+        missing = n_ex - n_hit
+        print(f"{name:<{width}}  {n_hit:>5}/{n_ex:<5}  {pct:6.1f}%"
+              + (f"  ({missing} missed)" if missing else ""))
+    total_pct = 100.0 * tot_hit / max(tot_exec, 1)
+    print("-" * (width + 30))
+    print(f"{'TOTAL':<{width}}  {tot_hit:>5}/{tot_exec:<5}  {total_pct:6.1f}%")
+    artifact = {
+        "total_pct": round(total_pct, 2),
+        "lines_executed": tot_hit,
+        "lines_executable": tot_exec,
+        "bar": BAR,
+        "files": {r[0]: round(r[3], 1) for r in rows},
+    }
+    with open(os.path.join(REPO, "benchmarks", "COVERAGE.json"), "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    if total_pct < BAR:
+        print(f"FAIL: coverage {total_pct:.1f}% < bar {BAR:.0f}%")
+        return 1
+    print(f"OK: coverage {total_pct:.1f}% >= bar {BAR:.0f}%")
+    return 0
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if mode == "report":
+        sys.exit(report())
+    # run mode: fresh hits dir, spawn pytest with the conftest hook enabled
+    import shutil
+
+    shutil.rmtree(HITS_DIR, ignore_errors=True)
+    os.makedirs(HITS_DIR, exist_ok=True)
+    env = dict(os.environ, FUGUE_COVERAGE="1")
+    args = sys.argv[2:] or ["tests/", "-q", "-n", "2"]
+    rc = subprocess.call([sys.executable, "-m", "pytest", *args],
+                         env=env, cwd=REPO)
+    if rc not in (0,):
+        print(f"pytest failed (rc={rc}); coverage not enforced")
+        sys.exit(rc)
+    sys.exit(report())
+
+
+if __name__ == "__main__":
+    main()

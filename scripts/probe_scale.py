@@ -1,0 +1,246 @@
+"""Scale-tier probe: large-d / large-N workloads driven toward the roofline
+(VERDICT r2 item 1). Run one row at a time on the exclusive chip:
+
+    timeout 550 python scripts/probe_scale.py logistic
+    timeout 550 python scripts/probe_scale.py densemass
+    timeout 550 python scripts/probe_scale.py plate
+    timeout 550 python scripts/probe_scale.py raw        # empirical rooflines
+
+Each row reports wall time, analytic + XLA-cost-model FLOP/s, and the
+fraction of (i) the v5e bf16 MXU peak and (ii) an EMPIRICAL same-shape
+speed-of-light kernel measured on this chip (raw matmul / raw fused
+reduction) — the honest per-workload roofline.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_PEAK_BF16 = 197e12
+
+
+def timed(f, *args, n=1):
+    jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = jax.block_until_ready(f(*args))
+    return (time.perf_counter() - t0) / n, out
+
+
+# ---------------------------------------------------------------- logistic
+D, N, C, L = 1024, 100_000, 256, 16
+NW, NS = 100, 64
+
+
+def make_logistic():
+    import fugue_tpu as ft
+    from fugue_tpu.ops import matmul_bf16
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(0, 1, (N, D)) / np.sqrt(D), jnp.float32)
+    w_true = rng.normal(0, 1, (D,))
+    logits_true = np.asarray(X, np.float64) @ w_true
+    y = jnp.asarray(rng.uniform(size=N) < 1 / (1 + np.exp(-logits_true)))
+
+    def model():
+        w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
+        ft.observe("y", ft.BernoulliLogits(matmul_bf16(X, w)), y)
+
+    return ft.stage(model), w_true
+
+
+def run_logistic():
+    import fugue_tpu as ft
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+    from fugue_tpu.inference.mcmc_utils import split_r_hat
+
+    staged, w_true = make_logistic()
+    cfg = HMCConfig(n_leapfrog=L, target_accept=0.9)
+
+    def run(i):
+        return hmc_chain(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                         n_samples=NS, n_warmup=NW, n_chains=C,
+                         config=cfg, staged=staged)
+
+    elapsed, res = timed(run)
+    grad_evals = C * (NW + NS) * (L + 1)
+    # analytic matmul FLOPs per batched grad eval: fwd (C,D)@(D,N) + bwd
+    # (C,N)@(N,D), 2*C*N*D each
+    flops_batched_grad = 4 * C * N * D
+    achieved = flops_batched_grad * (NW + NS) * (L + 1) / elapsed
+    ws = np.asarray(res.samples["w"])  # (C, NS, D)
+    rhats = [float(split_r_hat(ws[:, :, j])) for j in range(0, D, 128)]
+    err = float(np.abs(ws.mean((0, 1)) - w_true).mean())
+    print(json.dumps({
+        "row": "logistic_d1024_N1e5",
+        "wall_s": round(elapsed, 3),
+        "grad_evals_per_sec": round(grad_evals / elapsed, 1),
+        "analytic_flops_per_sec": round(achieved, 1),
+        "pct_v5e_bf16_peak": round(100 * achieved / V5E_PEAK_BF16, 2),
+        "max_rhat_sampled": round(max(rhats), 4),
+        "divergence_rate": round(float(np.asarray(res.divergences).mean()), 5),
+        "mean_abs_err_vs_true": round(err, 4),
+        "step_size": res.step_size,
+    }))
+
+
+def run_raw():
+    """Empirical speed-of-light: the same-shape matmul pair alone."""
+    rng = np.random.default_rng(0)
+    Xb = jnp.asarray(rng.normal(0, 1, (N, D)), jnp.bfloat16)
+    Wb = jnp.asarray(rng.normal(0, 1, (C, D)), jnp.bfloat16)
+
+    @jax.jit
+    def pair(Wb, r):
+        lo = jnp.matmul(Wb, Xb.T, preferred_element_type=jnp.float32)
+        g = jnp.matmul((lo + r).astype(jnp.bfloat16), Xb,
+                       preferred_element_type=jnp.float32)
+        return g
+
+    r = jnp.zeros((C, N), jnp.float32)
+    dt_pair, _ = timed(pair, Wb, r, n=8)
+    fl = 4 * C * N * D
+    print(json.dumps({
+        "row": "raw_matmul_pair",
+        "wall_s": round(dt_pair, 5),
+        "flops_per_sec": round(fl / dt_pair, 1),
+        "pct_v5e_bf16_peak": round(100 * fl / dt_pair / V5E_PEAK_BF16, 2),
+    }))
+
+
+# --------------------------------------------------------------- densemass
+DD, DN, DC = 256, 8192, 128
+
+
+def run_densemass():
+    import fugue_tpu as ft
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+    from fugue_tpu.inference.mcmc_utils import split_r_hat
+
+    rng = np.random.default_rng(1)
+    ii = np.arange(DD)
+    Sigma = np.exp(-np.abs(ii[:, None] - ii[None, :]) / 32.0)
+    Ls = np.linalg.cholesky(Sigma)
+    X = rng.normal(0, 1, (DN, DD)) / np.sqrt(DD)
+    w_true = Ls @ rng.normal(0, 1, DD)
+    sig = 1.0
+    y = X @ w_true + sig * rng.normal(0, 1, DN)
+    # closed-form posterior
+    Lam = np.linalg.inv(Sigma) + X.T @ X / sig**2
+    Pcov = np.linalg.inv(Lam)
+    pmean = Pcov @ (X.T @ y / sig**2)
+
+    Xj = jnp.asarray(X, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    Lj = jnp.asarray(Ls, jnp.float32)
+
+    def model():
+        w = ft.sample("w", ft.MultivariateNormal(jnp.zeros(DD), scale_tril=Lj))
+        ft.observe("y", ft.Normal(Xj @ w, sig), yj)
+
+    staged = ft.stage(model)
+    cfg = HMCConfig(n_leapfrog=24, mass="dense", target_accept=0.9)
+
+    def run(i):
+        return hmc_chain(jax.random.fold_in(jax.random.PRNGKey(2), i),
+                         n_samples=128, n_warmup=300, n_chains=DC,
+                         config=cfg, staged=staged)
+
+    elapsed, res = timed(run)
+    ws = np.asarray(res.samples["w"])
+    err = np.abs(ws.mean((0, 1)) - pmean) / np.sqrt(np.diag(Pcov))
+    sd_ratio = ws.reshape(-1, DD).std(0) / np.sqrt(np.diag(Pcov))
+    rhats = [float(split_r_hat(ws[:, :, j])) for j in range(0, DD, 32)]
+    ge = DC * (300 + 128) * 25
+    print(json.dumps({
+        "row": "densemass_mvn_d256",
+        "wall_s": round(elapsed, 3),
+        "grad_evals_per_sec": round(ge / elapsed, 1),
+        "max_norm_mean_err_in_sd": round(float(err.max()), 3),
+        "sd_ratio_minmax": [round(float(sd_ratio.min()), 3),
+                            round(float(sd_ratio.max()), 3)],
+        "max_rhat_sampled": round(max(rhats), 4),
+        "divergence_rate": round(float(np.asarray(res.divergences).mean()), 5),
+    }))
+
+
+# ------------------------------------------------------------------- plate
+PG, PNB, PC = 128, 8192, 64  # 128 groups x 8192 rows = 1,048,576 obs
+
+
+def run_plate():
+    import fugue_tpu as ft
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+    from fugue_tpu.inference.mcmc_utils import split_r_hat
+
+    rng = np.random.default_rng(2)
+    theta_true = rng.normal(0.0, 1.0, PG)
+    Y = jnp.asarray(
+        theta_true[:, None] + rng.normal(0, 1.0, (PG, PNB)), jnp.float32
+    )
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        theta = ft.sample("theta", ft.Normal(mu, 1.0), sample_shape=(PG,))
+        ft.observe("Y", ft.Normal(theta[:, None], 1.0), Y)
+
+    staged = ft.stage(model)
+    cfg = HMCConfig(n_leapfrog=16)
+
+    def run(i):
+        return hmc_chain(jax.random.fold_in(jax.random.PRNGKey(3), i),
+                         n_samples=64, n_warmup=100, n_chains=PC,
+                         config=cfg, staged=staged)
+
+    elapsed, res = timed(run)
+    th = np.asarray(res.samples["theta"])
+    # per-group posterior ~= N(ybar_g * n/(n+1), 1/(n+1)) — mu's prior is weak
+    ybar = np.asarray(Y.mean(axis=1))
+    exp_mean = ybar * PNB / (PNB + 1.0)
+    err = np.abs(th.mean((0, 1)) - exp_mean) * np.sqrt(PNB + 1.0)
+    rhat = float(split_r_hat(th[:, :, 0]))
+    n_evals = PC * (100 + 64) * 17
+    rows_per_sec = n_evals * PG * PNB / elapsed
+    print(json.dumps({
+        "row": "plate_1e6_rows",
+        "wall_s": round(elapsed, 3),
+        "obs_grad_rows_per_sec": round(rows_per_sec, 1),
+        "max_norm_err_in_sd": round(float(err.max()), 3),
+        "r_hat_theta0": round(rhat, 4),
+        "divergence_rate": round(float(np.asarray(res.divergences).mean()), 5),
+    }))
+
+
+def run_rawplate():
+    """Empirical roofline for the plate row: same-shape fused residual
+    reduction + broadcast-back gradient."""
+    rng = np.random.default_rng(2)
+    Y = jnp.asarray(rng.normal(0, 1, (PG, PNB)), jnp.float32)
+    th = jnp.asarray(rng.normal(0, 1, (PC, PG)), jnp.float32)
+
+    @jax.jit
+    def pot_and_grad(th):
+        def pot(t):
+            r = Y[None, :, :] - t[:, :, None]
+            return -0.5 * jnp.sum(r * r)
+        return jax.value_and_grad(pot)(th)
+
+    dt, _ = timed(pot_and_grad, th, n=4)
+    rows = PC * PG * PNB
+    print(json.dumps({
+        "row": "raw_plate_grad",
+        "wall_s": round(dt, 5),
+        "rows_per_sec": round(rows / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "logistic"
+    {"logistic": run_logistic, "raw": run_raw, "densemass": run_densemass,
+     "plate": run_plate, "rawplate": run_rawplate}[which]()

@@ -24,3 +24,37 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# -- stdlib coverage hook (scripts/coverage_tool.py) -------------------------
+# PEP 669 LINE events with per-location DISABLE: a line costs one callback
+# the first time it runs and nothing afterwards, so the hook works at full
+# suite speed, per xdist worker. Enabled only under FUGUE_COVERAGE=1.
+if os.environ.get("FUGUE_COVERAGE") == "1":  # pragma: no cover
+    import atexit
+    import json
+    import sys
+
+    _PKG = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fugue_tpu")
+    _HITS: dict = {}
+    _MON = sys.monitoring
+    _TOOL = _MON.COVERAGE_ID
+    _MON.use_tool_id(_TOOL, "fugue-cov")
+
+    def _on_line(code, line):
+        fn = code.co_filename
+        if fn.startswith(_PKG):
+            _HITS.setdefault(fn, set()).add(line)
+        return _MON.DISABLE
+
+    _MON.register_callback(_TOOL, _MON.events.LINE, _on_line)
+    _MON.set_events(_TOOL, _MON.events.LINE)
+
+    @atexit.register
+    def _dump_hits():
+        out_dir = os.path.join(os.path.dirname(_PKG), ".coverage_fugue")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"hits-{os.getpid()}.json")
+        with open(path, "w") as f:
+            json.dump({k: sorted(v) for k, v in _HITS.items()}, f)

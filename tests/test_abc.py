@@ -14,7 +14,6 @@ import pytest
 import fugue_tpu as ft
 from fugue_tpu.inference.abc import (
     ABCError,
-    ABCResult,
     ABCSMCConfig,
     SummaryStatsDistance,
     abc_rejection,

@@ -14,7 +14,6 @@ part 1). Semantics under test:
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import fugue_tpu as ft
 

@@ -5,17 +5,12 @@ Reference parity (SURVEY.md §4 item 2): AR(1) ESS/n → (1-phi)/(1+phi) within
 stationary-vs-drift (:534-570), split-R-hat behavior (diagnostics.rs:218-259).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from fugue_tpu.inference import mcmc_utils as mu
-from fugue_tpu.inference.diagnostics import (
-    ParameterSummary,
-    print_diagnostics,
-    summarize_samples,
-)
+from fugue_tpu.inference.diagnostics import print_diagnostics
 
 
 def ar1(rng, phi, n, sigma=1.0):

@@ -266,3 +266,45 @@ def test_geometric_edge_cases():
         jnp.array([0, 2])))
     assert lp[0] == 0.0
     assert np.isfinite(lp[1])
+
+
+def test_bernoulli_logits_stability_and_parity():
+    """BernoulliLogits: -softplus form matches Bernoulli(sigmoid) at
+    moderate logits and never saturates at extreme ones (the stable GLM
+    likelihood the scale-tier bench rides)."""
+    z = jnp.array([-40.0, -3.0, 0.0, 2.5, 50.0])
+    bl = ft.BernoulliLogits(z)
+    lp1 = np.asarray(bl.log_prob(jnp.array([True] * 5)))
+    lp0 = np.asarray(bl.log_prob(jnp.array([False] * 5)))
+    p = 1 / (1 + np.exp(-np.asarray(z, np.float64)))
+    np.testing.assert_allclose(lp1[1:4], np.log(p[1:4]), rtol=1e-6)
+    np.testing.assert_allclose(lp0[1:4], np.log1p(-p[1:4]), rtol=1e-6)
+    assert np.isfinite(lp1).all() and np.isfinite(lp0).all()
+    assert lp1[0] == pytest.approx(-40.0, abs=1e-4)
+    assert lp0[4] == pytest.approx(-50.0, abs=1e-4)
+    s = np.asarray(ft.BernoulliLogits(0.8).sample(jax.random.PRNGKey(0),
+                                                  (20000,)))
+    assert abs(s.mean() - 1 / (1 + np.exp(-0.8))) < 0.012
+
+
+def test_bernoulli_logits_glm_end_to_end():
+    """Small Bayesian logistic regression through the bf16 matmul island +
+    BernoulliLogits likelihood recovers the generating coefficients."""
+    from fugue_tpu.ops import matmul_bf16
+
+    D, N = 8, 512
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(0, 1, (N, D)) / np.sqrt(D), jnp.float32)
+    w_true = rng.normal(0, 1, D)
+    y = jnp.asarray(
+        rng.uniform(size=N) < 1 / (1 + np.exp(-np.asarray(X, np.float64) @ w_true))
+    )
+
+    def model():
+        w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
+        ft.observe("y", ft.BernoulliLogits(matmul_bf16(X, w)), y)
+
+    res = ft.hmc_chain(jax.random.PRNGKey(1), model, n_samples=300,
+                       n_warmup=300, n_chains=16)
+    w_post = np.asarray(res.samples["w"]).mean((0, 1))
+    assert np.corrcoef(w_post, w_true)[0, 1] > 0.9

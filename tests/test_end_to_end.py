@@ -5,7 +5,6 @@ inference_integration.rs — compose modeling, staging, multiple engines,
 diagnostics, and persistence in realistic sequences.
 """
 
-import os
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from scipy import stats
 
 import fugue_tpu as ft
 from fugue_tpu.errors import StagingError
-from fugue_tpu.inference.ess import ESSConfig, ess_chain
+from fugue_tpu.inference.ess import ess_chain
 
 
 def test_conjugate_scalar_normal():

@@ -7,7 +7,6 @@ import pytest
 
 import fugue_tpu as ft
 from fugue_tpu.inference.gibbs import gibbs_chain
-from fugue_tpu.inference.hmc import HMCConfig
 
 
 def test_mixed_model_posterior():

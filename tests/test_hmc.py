@@ -258,7 +258,6 @@ def test_dense_mass_on_correlated_target():
 def test_resume_continues_with_warmed_kernel(tmp_path):
     """Checkpoint → resume: sampling continues from the saved positions
     with the frozen warmed kernel, no re-warmup."""
-    from fugue_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
 
     ys = jnp.array([1.2, 0.8, 1.5, 0.9, 1.1])
 

@@ -6,11 +6,9 @@ root and behaves at the contract level. The reference re-exports its full API
 flat at the crate root (src/lib.rs:16-59); fugue_tpu mirrors that.
 """
 
-import inspect
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 import fugue_tpu as ft

@@ -10,7 +10,6 @@ import pytest
 import fugue_tpu as ft
 from fugue_tpu.parallel.mesh import (
     CHAIN_AXIS,
-    chain_sharding,
     make_chain_data_mesh,
     make_chain_mesh,
 )

@@ -9,7 +9,6 @@ import pytest
 from fugue_tpu.inference.validation import (
     ConjugateBetaBernoulliConfig,
     ConjugateNormalConfig,
-    ValidationResult,
     ks_two_sample,
     validate_beta_bernoulli,
     validate_conjugate_normal,

@@ -38,6 +38,8 @@ BAD_CONSTRUCTIONS = [
     (lambda: ft.Geometric(1.2), "Geometric p>1"),
     (lambda: ft.NegativeBinomial(0.0, 0.5), "NegativeBinomial zero count"),
     (lambda: ft.NegativeBinomial(2.0, -0.1), "NegativeBinomial negative p"),
+    (lambda: ft.BernoulliLogits(np.nan), "BernoulliLogits nan logits"),
+    (lambda: ft.BernoulliLogits(np.inf), "BernoulliLogits inf logits"),
 ]
 
 

@@ -164,7 +164,7 @@ def test_robbins_monro_sgd_path():
 def test_fullrank_captures_correlation():
     """Full-rank ADVI learns the off-diagonal covariance a mean-field guide
     cannot represent."""
-    from fugue_tpu.inference.vi import FullRankGuide, optimize_fullrank_vi
+    from fugue_tpu.inference.vi import optimize_fullrank_vi
 
     rho = 0.9
 
