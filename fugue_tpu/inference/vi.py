@@ -653,20 +653,31 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig"):
             (params, opt_state, hist0, jnp.asarray(0, jnp.int32),
              jnp.asarray(False)),
         )
-        return params, hist, c * ce, conv
+        # pack (history, n_done, converged) into ONE array: fetching each
+        # output separately costs one device round trip apiece (~26 ms on a
+        # relayed TPU — measured in scripts/probe_vi_cost*.py), which would
+        # dominate short runs
+        packed = jnp.concatenate([
+            hist,
+            jnp.asarray([c * ce], dt),
+            jnp.asarray([conv], dt),
+        ])
+        return params, packed
 
     return run
 
 
 def _drive_vi(run, guide, tx, key) -> "VIResult":
-    """Shared host-side tail: one dispatch, then truncate the history to the
-    iterations that actually ran before the in-program early exit."""
-    params, hist, n_done, conv = run(key)
-    n_done = int(np.asarray(n_done))
+    """Shared host-side tail: one dispatch + ONE result transfer, then
+    truncate the history to the iterations that actually ran before the
+    in-program early exit."""
+    params, packed = run(key)
+    packed = np.asarray(packed)
+    n_done = int(packed[-2])
     return VIResult(
         params=params,
-        elbo_history=np.asarray(hist)[:n_done],
-        converged=bool(np.asarray(conv)),
+        elbo_history=packed[:-2][:n_done],
+        converged=bool(packed[-1]),
         n_iterations_run=n_done,
         guide=guide,
     )

@@ -1,0 +1,183 @@
+"""On-chip f32 statistical validation (VERDICT r2 item 3).
+
+The CPU suite runs x64; the chip runs f32. The ChEES trajectory-NaN bug
+(ROUND2_NOTES) shipped past 500 green x64 tests and was only caught on the
+chip — this artifact closes that gap: one exclusive TPU run executing the
+conjugate harnesses (inference/validation.py, reference validation.rs
+parity) plus posterior-moment gates for EVERY gradient/particle engine on
+the production f32 path, writing benchmarks/VALIDATE_TPU.json.
+
+Run exclusively (no other python process may touch the chip):
+    timeout 550 python scripts/validate_tpu.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# honor an explicit CPU request (logic check off-chip; the committed
+# artifact comes from the axon TPU run) — the sitecustomize pre-import pins
+# the platform, so the config must be updated too
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import fugue_tpu as ft
+    from fugue_tpu.inference.validation import (
+        ConjugateBetaBernoulliConfig, ConjugateNormalConfig,
+        validate_beta_bernoulli, validate_conjugate_normal,
+    )
+
+    t_start = time.perf_counter()
+    results = {}
+    dev = str(jax.devices()[0])
+    assert jnp.asarray(1.0).dtype == jnp.float32, "expected the f32 chip path"
+
+    # 1) reference-parity conjugate harnesses (2-SE gates, ESS-based)
+    for sampler in ("hmc", "mh"):
+        r = validate_conjugate_normal(jax.random.PRNGKey(11), sampler)
+        results[f"conjugate_normal_{sampler}"] = {
+            "passed": bool(r.passed), "checks": {k: bool(v) for k, v in r.checks.items()},
+            "observed_mean": float(r.observed_mean),
+            "expected_mean": float(r.expected_mean),
+        }
+        r = validate_beta_bernoulli(jax.random.PRNGKey(12), sampler)
+        results[f"beta_bernoulli_{sampler}"] = {
+            "passed": bool(r.passed), "checks": {k: bool(v) for k, v in r.checks.items()},
+            "observed_mean": float(r.observed_mean),
+            "expected_mean": float(r.expected_mean),
+        }
+
+    # 2) per-engine posterior-moment gates on one conjugate Normal target:
+    #    posterior N(sum(y)/(tau0+n), 1/(tau0+n)) with tau0=0.25, n=5
+    ys = jnp.array([1.2, 0.8, 1.5, 0.9, 1.1])
+    tau = 0.25 + 5.0
+    post_mean, post_var = float(ys.sum()) / tau, 1.0 / tau
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("ys", ft.Normal(mu, 1.0), ys)
+
+    staged = ft.stage(model)
+
+    def gate(name, draws, mean_tol_sd=0.15, var_tol=0.25, extra=None):
+        x = np.asarray(draws).reshape(-1).astype(np.float64)
+        mean_err = abs(x.mean() - post_mean) / np.sqrt(post_var)
+        var_err = abs(x.var() - post_var) / post_var
+        ok = bool(np.isfinite(x).all() and mean_err < mean_tol_sd
+                  and var_err < var_tol)
+        results[name] = {
+            "passed": ok,
+            "mean_err_in_posterior_sd": round(float(mean_err), 4),
+            "var_rel_err": round(float(var_err), 4),
+            **(extra or {}),
+        }
+
+    from fugue_tpu.inference.nuts import nuts_chain
+    r = nuts_chain(jax.random.PRNGKey(1), staged=staged, n_samples=1000,
+                   n_warmup=500, n_chains=64)
+    gate("nuts_f32", r.samples["mu"],
+         extra={"divergence_rate": round(float(np.asarray(r.divergences).mean()), 5)})
+
+    from fugue_tpu.inference.chees import chees_chain
+    r = chees_chain(jax.random.PRNGKey(2), staged=staged, n_samples=1000,
+                    n_warmup=500, n_chains=64)
+    gate("chees_f32", r.samples["mu"],
+         extra={"divergence_rate": round(float(np.asarray(r.divergences).mean()), 5),
+                "trajectory_length": round(r.trajectory_length, 4)})
+
+    from fugue_tpu.inference.ess import ess_chain
+    r = ess_chain(jax.random.PRNGKey(3), staged=staged, n_samples=1000,
+                  n_warmup=200, n_chains=64)
+    gate("elliptical_slice_f32", r.samples["mu"])
+
+    from fugue_tpu.inference.tempering import PTConfig, pt_chain
+    r = pt_chain(jax.random.PRNGKey(4), staged=staged, n_samples=800,
+                 n_warmup=400, config=PTConfig(n_temps=4, beta_min=0.1),
+                 n_chains=16)
+    gate("parallel_tempering_f32", r.samples["mu"])
+
+    from fugue_tpu.inference.smc import adaptive_smc
+    r = adaptive_smc(jax.random.PRNGKey(5), 8192, staged=staged)
+    w = np.exp(np.asarray(r.log_weights, np.float64))
+    w = w / w.sum()
+    x = np.asarray(r.particles["mu"], np.float64)
+    sm, sv = float((w * x).sum()), float((w * (x - (w * x).sum()) ** 2).sum())
+    # closed-form evidence for the conjugate model
+    from scipy import stats as st
+    y64 = np.asarray(ys, np.float64)
+    logz = float(st.multivariate_normal(
+        mean=np.zeros(5), cov=np.eye(5) + 4.0).logpdf(y64))
+    results["smc_f32"] = {
+        "passed": bool(abs(sm - post_mean) / np.sqrt(post_var) < 0.2
+                       and abs(float(r.log_evidence) - logz) < 0.1),
+        "weighted_mean_err_in_sd": round(abs(sm - post_mean) / np.sqrt(post_var), 4),
+        "logZ_abs_err": round(abs(float(r.log_evidence) - logz), 4),
+    }
+
+    from fugue_tpu.inference.vi import VIConfig, optimize_meanfield_vi
+    r = optimize_meanfield_vi(
+        jax.random.PRNGKey(6), staged=staged,
+        config=VIConfig(n_iterations=1500, n_samples=64))
+    loc = float(np.asarray(r.params["mu"]["loc"]))
+    results["vi_f32"] = {
+        "passed": bool(abs(loc - post_mean) < 3 * np.sqrt(post_var / 64)
+                       + 0.02 and np.isfinite(r.elbo_history).all()),
+        "loc_err": round(abs(loc - post_mean), 4),
+        "final_elbo": round(float(r.elbo_history[-1]), 3),
+    }
+
+    # 3) exact discrete marginalization on-chip (f32 logsumexp path)
+    def mix_model():
+        k = ft.sample("k", ft.Bernoulli(0.3))
+        mu = ft.sample("mu", ft.Normal(jnp.where(k, 2.0, -2.0), 1.0))
+        ft.observe("y", ft.Normal(mu, 0.5), jnp.array(1.5))
+
+    from fugue_tpu.inference.marginalize import marginalize
+    marg = marginalize(staged=ft.stage(mix_model))
+    r = nuts_chain(jax.random.PRNGKey(7), staged=marg, n_samples=800,
+                   n_warmup=400, n_chains=32)
+    mu_draws = np.asarray(r.samples["mu"]).reshape(-1)
+    # quadrature ground truth over the 2-component posterior
+    grid = np.linspace(-8, 8, 4001)
+    dens = (0.3 * st.norm(2, 1).pdf(grid) + 0.7 * st.norm(-2, 1).pdf(grid)) \
+        * st.norm(grid, 0.5).pdf(1.5)
+    dens /= np.trapezoid(dens, grid)
+    qm = float(np.trapezoid(grid * dens, grid))
+    results["marginalize_f32"] = {
+        "passed": bool(abs(mu_draws.mean() - qm) < 0.05),
+        "mean_err": round(abs(float(mu_draws.mean()) - qm), 4),
+    }
+
+    all_passed = all(v["passed"] for v in results.values())
+    artifact = {
+        "device": dev,
+        "dtype": "float32",
+        "all_passed": all_passed,
+        "wall_s": round(time.perf_counter() - t_start, 1),
+        "results": results,
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "VALIDATE_TPU.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps({"all_passed": all_passed,
+                      "n_gates": len(results),
+                      "failed": [k for k, v in results.items()
+                                 if not v["passed"]]}))
+    sys.exit(0 if all_passed else 1)
+
+
+if __name__ == "__main__":
+    main()
