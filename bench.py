@@ -100,13 +100,37 @@ def conjugate_log_evidence():
     return -0.5 * (n * np.log(2 * np.pi) + np.log(1.0 + n) + quad)
 
 
-def _timed(fn, *args, reps=3):
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+@jax.jit
+def _sum_leaves(leaves):
+    return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+
+def _force(out):
+    """Force completion by FETCHING one scalar reduced from the array leaves.
+
+    ``block_until_ready`` is not a trustworthy completion barrier on the
+    relayed axon backend (measured: a 64-deep dependent 4096^3 matmul chain
+    "completed" in 0.14 ms under block_until_ready — physically impossible;
+    scripts/probe_* session r3). A host fetch of a value data-dependent on
+    the computation cannot lie. One jitted tree-sum = one dispatch + one
+    scalar transfer."""
+    leaves = [
+        x for x in jax.tree_util.tree_leaves(out)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+    ]
+    return float(_sum_leaves(leaves))
+
+
+def _timed(fn, base=0, reps=3):
+    """Time fn(i) over distinct i per rep — identical repeat arguments are
+    never re-issued, so any (executable, args) result memoization in the
+    relay cannot fake the measurement."""
+    out = fn(base)
+    _force(out)
     t0 = time.perf_counter()
     for i in range(reps):
-        out = fn(*args)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        out = fn(base + 1 + i)
+        _force(out)
     return (time.perf_counter() - t0) / reps, out
 
 
@@ -142,7 +166,10 @@ def bench_hmc():
 
     n_chains, n_warmup, n_samples, L = 1024, 1000, 1000, 32
     staged = ft.stage(eight_schools_model)
-    cfg = HMCConfig(n_leapfrog=L)
+    # target_accept 0.9: the funnel-ish eight-schools tail needs a smaller
+    # step for a sub-1% divergence rate (VERDICT r2 item 5); the headline
+    # metric is grad-evals/s, which a smaller eps does not distort
+    cfg = HMCConfig(n_leapfrog=L, target_accept=0.9)
 
     def run(i):
         return hmc_chain(
@@ -366,8 +393,314 @@ def bench_vi():
     }
 
 
+def bench_smc_hmc():
+    """Second SMC row: gradient-based rejuvenation (SURVEY.md §7 step 6 —
+    'HMC moves instead of single-site MH'; VERDICT r2 item 6)."""
+    import fugue_tpu as ft
+    from fugue_tpu.inference.smc import SMCConfig, adaptive_smc
+
+    n_particles = 16384
+    staged = ft.stage(hierarchical_model)
+    cfg = SMCConfig(rejuvenation="hmc", rejuvenation_steps=2, hmc_leapfrog=8)
+
+    def run(i):
+        return adaptive_smc(
+            jax.random.fold_in(jax.random.PRNGKey(13), i),
+            n_particles, staged=staged, config=cfg,
+        )
+
+    elapsed, res = _timed(run, 1)
+    stages = int(res.n_stages)
+    rate = n_particles * stages / elapsed
+    ref_rate = 64 * stages / REF_SMC_RUN_SEC
+
+    staged_c = ft.stage(conjugate_evidence_model)
+    res_c = adaptive_smc(
+        jax.random.PRNGKey(34), 8192, staged=staged_c, config=cfg
+    )
+    logz_err = abs(float(res_c.log_evidence) - conjugate_log_evidence())
+
+    return {
+        "submetric": "smc_hmc_rejuvenation_particle_stages_per_sec",
+        "value": round(rate, 1),
+        "unit": "particle-stages/s",
+        "vs_baseline": round(rate / ref_rate, 2),
+        "wall_s": round(elapsed, 4),
+        "n_stages": stages,
+        "log_evidence": round(float(res.log_evidence), 3),
+        "conjugate_logZ_abs_err": round(logz_err, 4),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Scale tier (VERDICT r2 item 1): large-d / large-N workloads with honest
+# per-workload rooflines. vs_baseline derives from the reference's
+# finite-difference cost model ((L+1)*2d model runs per HMC transition,
+# hmc.rs:301-329) with one scalar model run costed at the workload's FLOPs
+# on a 2 GFLOP/s single core — generous to the reference.
+# ---------------------------------------------------------------------------
+
+SCALAR_CORE_FLOPS = 2e9
+
+
+def bench_scale_logistic():
+    """Bayesian logistic regression d=1024, N=1e5, 256 chains: the
+    likelihood is one (C,d)@(d,N) matmul -> MXU workload. Roofline is the
+    empirical same-shape fwd/bwd matmul pair measured on THIS chip."""
+    import fugue_tpu as ft
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+    from fugue_tpu.inference.mcmc_utils import split_r_hat
+    from fugue_tpu.ops import matmul_bf16
+
+    D, N, C, L = 1024, 100_000, 256, 16
+    NW, NS = 100, 64
+    # dataset generated ON DEVICE (uploading a 400 MB design matrix over
+    # the relayed link takes minutes); stats likewise computed on device —
+    # a (C,NS,D) sample fetch would dominate the wall clock
+    kx, kw, ky = jax.random.split(jax.random.PRNGKey(99), 3)
+
+    @jax.jit
+    def gen():
+        X = (jax.random.normal(kx, (N, D), jnp.bfloat16)
+             / np.float32(np.sqrt(D)))
+        w_true = jax.random.normal(kw, (D,), jnp.float32)
+        logits = jnp.matmul(X, w_true.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        yv = jax.random.uniform(ky, (N,)) < jax.nn.sigmoid(logits)
+        return X, w_true, yv
+
+    X, w_true, y = gen()
+
+    def model():
+        w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
+        ft.observe("y", ft.BernoulliLogits(matmul_bf16(X, w)), y)
+
+    staged = ft.stage(model)
+    cfg = HMCConfig(n_leapfrog=L, target_accept=0.9)
+
+    stats = jax.jit(lambda ws, divs: (
+        jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::128])),
+        jnp.mean(jnp.abs(jnp.mean(ws, axis=(0, 1)) - w_true)),
+        jnp.mean(divs.astype(jnp.float32)),
+    ))
+
+    def run(i):
+        r = hmc_chain(jax.random.fold_in(jax.random.PRNGKey(21), i),
+                      n_samples=NS, n_warmup=NW, n_chains=C,
+                      config=cfg, staged=staged)
+        return [float(x) for x in stats(r.samples["w"], r.divergences)] + [
+            r.step_size]
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    rhat, err, div, eps = run(1)
+    elapsed = time.perf_counter() - t0
+    n_grad = (NW + NS) * (L + 1)
+    achieved = 4 * C * N * D * n_grad / elapsed
+
+    # empirical same-shape roofline: K dependent fwd/bwd matmul pairs
+    K = 16
+
+    @jax.jit
+    def mm_chain(Wb):
+        def body(w, _):
+            lo = jnp.matmul(w, X.T, preferred_element_type=jnp.float32)
+            g = jnp.matmul(jax.nn.sigmoid(lo).astype(jnp.bfloat16), X,
+                           preferred_element_type=jnp.float32)
+            return (g / jnp.max(jnp.abs(g))).astype(jnp.bfloat16), ()
+        w, _ = jax.lax.scan(body, Wb, None, length=K)
+        return jnp.sum(w.astype(jnp.float32))
+
+    Wb0 = jax.random.normal(jax.random.PRNGKey(5), (C, D), jnp.bfloat16)
+    dt_chain, _ = _timed(lambda i: mm_chain(Wb0 + i), 0, reps=1)
+    roof = 4 * C * N * D / (dt_chain / K)
+
+    ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
+    rate = C * n_grad / elapsed
+    return {
+        "submetric": "scale_logistic_d1024_N1e5_grad_evals_per_sec",
+        "value": round(rate, 1),
+        "unit": "grad-evals/s",
+        "vs_baseline": round(rate * ref_grad_sec, 1),
+        "wall_s": round(elapsed, 3),
+        "analytic_flops_per_sec": round(achieved, 1),
+        "pct_v5e_bf16_peak": round(100 * achieved / V5E_PEAK_BF16_FLOPS, 2),
+        "empirical_roofline_flops_per_sec": round(roof, 1),
+        "pct_of_empirical_roofline": round(100 * achieved / roof, 1),
+        "max_rhat_sampled": round(rhat, 4),
+        "divergence_rate": round(div, 5),
+        "mean_abs_coef_err": round(err, 4),
+        "step_size": eps,
+    }
+
+
+def bench_scale_densemass():
+    """Correlated-coefficient linear model, d=256, N=8192, DENSE mass HMC,
+    128 chains — the batched-Cholesky machinery row, gated on the exact
+    closed-form posterior."""
+    import fugue_tpu as ft
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+    from fugue_tpu.inference.mcmc_utils import split_r_hat
+
+    DD, DN, DC, L = 256, 8192, 128, 24
+    NW, NS = 300, 128
+    ii = np.arange(DD)
+    Sigma = np.exp(-np.abs(ii[:, None] - ii[None, :]) / 32.0)
+    Ls = np.linalg.cholesky(Sigma)
+    Lj = jnp.asarray(Ls, jnp.float32)  # 256 KB upload — fine
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(98), 3)
+
+    @jax.jit
+    def gen():
+        # data + exact closed-form posterior, all on device (f32 solves)
+        X = jax.random.normal(k1, (DN, DD)) / np.float32(np.sqrt(DD))
+        w_true = Lj @ jax.random.normal(k2, (DD,))
+        yv = X @ w_true + jax.random.normal(k3, (DN,))
+        Lam = (jnp.linalg.inv(Sigma.astype(np.float32))
+               + X.T @ X)
+        Pcov = jnp.linalg.inv(Lam)
+        pmean = Pcov @ (X.T @ yv)
+        return X, yv, pmean, jnp.sqrt(jnp.diag(Pcov))
+
+    Xj, yj, pmean, psd = gen()
+
+    def model():
+        w = ft.sample(
+            "w", ft.MultivariateNormal(jnp.zeros(DD), scale_tril=Lj)
+        )
+        ft.observe("y", ft.Normal(Xj @ w, 1.0), yj)
+
+    staged = ft.stage(model)
+    cfg = HMCConfig(n_leapfrog=L, mass="dense", target_accept=0.9)
+
+    stats = jax.jit(lambda ws, divs: (
+        jnp.max(jnp.abs(jnp.mean(ws, axis=(0, 1)) - pmean) / psd),
+        jnp.min(jnp.std(ws.reshape(-1, DD), axis=0) / psd),
+        jnp.max(jnp.std(ws.reshape(-1, DD), axis=0) / psd),
+        jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::32])),
+        jnp.mean(divs.astype(jnp.float32)),
+    ))
+
+    def run(i):
+        r = hmc_chain(jax.random.fold_in(jax.random.PRNGKey(22), i),
+                      n_samples=NS, n_warmup=NW, n_chains=DC,
+                      config=cfg, staged=staged)
+        return [float(x) for x in stats(r.samples["w"], r.divergences)]
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    err, sd_lo, sd_hi, rhat, div = run(1)
+    elapsed = time.perf_counter() - t0
+    n_grad = (NW + NS) * (L + 1)
+    rate = DC * n_grad / elapsed
+    flops_eval = 2 * DN * DD + DD * DD
+    ref_grad_sec = 2 * DD * (flops_eval / SCALAR_CORE_FLOPS)
+    return {
+        "submetric": "scale_densemass_mvn_d256_grad_evals_per_sec",
+        "value": round(rate, 1),
+        "unit": "grad-evals/s",
+        "vs_baseline": round(rate * ref_grad_sec, 1),
+        "wall_s": round(elapsed, 3),
+        "max_norm_mean_err_in_posterior_sd": round(err, 3),
+        "marginal_sd_ratio_minmax": [round(sd_lo, 3), round(sd_hi, 3)],
+        "max_rhat_sampled": round(rhat, 4),
+        "divergence_rate": round(div, 5),
+    }
+
+
+def bench_scale_plate():
+    """10^6-row observation plate (128 groups x 8192), 64 chains — the
+    HBM/VPU-bound row. Roofline is the empirical same-shape fused residual
+    reduction + gradient measured on THIS chip."""
+    import fugue_tpu as ft
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+    from fugue_tpu.inference.mcmc_utils import split_r_hat
+
+    PG, PNB, PC, L = 128, 8192, 64, 16
+    NW, NS = 100, 64
+    ka, kb = jax.random.split(jax.random.PRNGKey(97))
+
+    @jax.jit
+    def gen():
+        theta_true = jax.random.normal(ka, (PG,))
+        Y = theta_true[:, None] + jax.random.normal(kb, (PG, PNB))
+        return Y
+
+    Y = gen()
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        theta = ft.sample("theta", ft.Normal(mu, 1.0), sample_shape=(PG,))
+        ft.observe("Y", ft.Normal(theta[:, None], 1.0), Y)
+
+    staged = ft.stage(model)
+    cfg = HMCConfig(n_leapfrog=L)
+
+    stats = jax.jit(lambda th, divs: (
+        # per-group posterior ~= N(ybar_g * n/(n+1), 1/(n+1)) (weak mu prior)
+        jnp.max(jnp.abs(jnp.mean(th, axis=(0, 1))
+                        - jnp.mean(Y, axis=1) * (PNB / (PNB + 1.0)))
+                * np.float32(np.sqrt(PNB + 1.0))),
+        split_r_hat(th[:, :, 0]),
+        jnp.mean(divs.astype(jnp.float32)),
+    ))
+
+    def run(i):
+        r = hmc_chain(jax.random.fold_in(jax.random.PRNGKey(23), i),
+                      n_samples=NS, n_warmup=NW, n_chains=PC,
+                      config=cfg, staged=staged)
+        return [float(x) for x in stats(r.samples["theta"], r.divergences)]
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    err, rhat, div = run(1)
+    elapsed = time.perf_counter() - t0
+    n_grad = (NW + NS) * (L + 1)
+    rows_per_sec = PC * n_grad * PG * PNB / elapsed
+
+    # empirical roofline: same-shape fused residual reduction + grad
+    @jax.jit
+    def raw(th):
+        def body(t, _):
+            def pot(t):
+                r = Y[None, :, :] - t[:, :, None]
+                return -0.5 * jnp.sum(r * r)
+            v, g = jax.value_and_grad(pot)(t)
+            return t - 1e-9 * g, v
+        t, vs = jax.lax.scan(body, th, None, length=8)
+        return jnp.sum(t) + jnp.sum(vs)
+
+    th0 = jax.random.normal(jax.random.PRNGKey(6), (PC, PG), jnp.float32)
+    dt_raw, _ = _timed(lambda i: raw(th0 + i), 0, reps=1)
+    roof_rows = 8 * PC * PG * PNB / dt_raw
+
+    flops_eval = PG * PNB * 10
+    ref_grad_sec = 2 * (PG + 2) * (flops_eval / SCALAR_CORE_FLOPS)
+    return {
+        "submetric": "scale_plate_1e6_rows_obs_grad_rows_per_sec",
+        "value": round(rows_per_sec, 1),
+        "unit": "obs-grad-rows/s",
+        "vs_baseline": round(
+            (PC * n_grad / elapsed) * ref_grad_sec, 1
+        ),
+        "wall_s": round(elapsed, 3),
+        "empirical_roofline_rows_per_sec": round(roof_rows, 1),
+        "pct_of_empirical_roofline": round(
+            100 * rows_per_sec / roof_rows, 1
+        ),
+        "max_group_mean_err_in_sd": round(err, 3),
+        "r_hat_theta0": round(rhat, 4),
+        "divergence_rate": round(div, 5),
+    }
+
+
 def main():
     t_start = time.perf_counter()
+    # the driver runs bench.py under a hard timeout; the scale-tier rows
+    # carry multi-minute first-time remote compiles, so they run inside a
+    # soft deadline — a skipped row reports itself instead of truncating
+    # the whole artifact (override with FUGUE_BENCH_DEADLINE=seconds)
+    deadline = float(os.environ.get("FUGUE_BENCH_DEADLINE", 460))
     results = {}
     for name, fn in [
         ("mh", bench_mh),
@@ -375,8 +708,18 @@ def main():
         ("nuts", bench_nuts),
         ("chees", bench_chees),
         ("smc", bench_smc),
+        ("smc_hmc", bench_smc_hmc),
         ("vi", bench_vi),
+        ("scale_logistic", bench_scale_logistic),
+        ("scale_densemass", bench_scale_densemass),
+        ("scale_plate", bench_scale_plate),
     ]:
+        if (name.startswith("scale_")
+                and time.perf_counter() - t_start > deadline):
+            results[name] = {"submetric": name,
+                             "skipped": "bench time budget exhausted"}
+            print(json.dumps(results[name]), flush=True)
+            continue
         try:
             results[name] = fn()
         except Exception as e:  # a broken engine must not hide the others

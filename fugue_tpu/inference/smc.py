@@ -43,7 +43,6 @@ from .mcmc_utils import AdaptationState, adapt_update
 from .mh import MHState, mh_step
 
 MAX_STAGES = 64  # safety net (reference: MAX_STEPS, smc.rs:499)
-BISECT_ITERS = 64  # reference: smc.rs:612-619
 
 
 def _ring_gather(latents_local, ancestors_global, axis_name, n_shards):
@@ -144,27 +143,48 @@ class SMCResult:
 
 
 def _next_beta(beta, log_w, ll, target_ess):
-    """ESS-bisection for the next temperature (reference: smc.rs:588-622).
+    """ESS search for the next temperature (reference: smc.rs:588-622).
 
     Finds beta' in (beta, 1] such that the ESS of log_w + (beta'-beta)*ll
     hits ``target_ess``; returns 1.0 when the full jump keeps ESS above
-    target. Fixed 64 iterations (XLA-friendly; matches the reference)."""
+    target.
 
-    def ess_at(b):
-        return effective_sample_size(log_w + (b - beta) * ll)
+    TPU-native form: the reference's 64-iteration bisection is 64
+    SEQUENTIAL (N,)-reductions — ~400 dependent tiny ops of pure latency on
+    a device that would rather do one big batched one. ESS(beta') is
+    monotone non-increasing in beta', so a two-level VECTORIZED grid search
+    — evaluate all 64 coarse candidates as one (64, N) batch, pick the
+    bracket, refine with 64 more inside it — needs just 2 batched
+    reductions for a bracket of width (1-beta)/64^2 ~= 2.4e-4, far tighter
+    than the ESS heuristic warrants (the ladder spacing only shapes
+    efficiency; any schedule keeps the estimator unbiased, FG-58)."""
+    G = 64
+    dt = log_w.dtype
 
-    full = ess_at(1.0)
+    def ess_batch(bs):
+        # (G,) candidate betas -> (G,) ESS values, one batched reduction
+        lw = log_w[None, :] + (bs[:, None] - beta) * ll[None, :]
+        m = jnp.max(lw, axis=1, keepdims=True)
+        w = jnp.exp(lw - m)
+        s1 = jnp.sum(w, axis=1)
+        s2 = jnp.sum(w * w, axis=1)
+        return s1 * s1 / jnp.maximum(s2, 1e-38)
 
-    def bisect(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        too_low = ess_at(mid) < target_ess
-        return jnp.where(too_low, lo, mid), jnp.where(too_low, mid, hi)
+    full = effective_sample_size(log_w + (1.0 - beta) * ll)
 
-    lo, hi = jax.lax.fori_loop(
-        0, BISECT_ITERS, bisect, (beta, jnp.ones_like(beta))
-    )
-    out = jnp.where(full >= target_ess, 1.0, lo)
+    grid1 = beta + (1.0 - beta) * jnp.arange(1, G + 1, dtype=dt) / G
+    ok1 = ess_batch(grid1) >= target_ess
+    # largest candidate still meeting the target (grid1[0] as fallback)
+    i1 = jnp.where(jnp.any(ok1), jnp.max(jnp.where(ok1, jnp.arange(G), -1)), 0)
+    lo1 = jnp.where(jnp.any(ok1), grid1[i1], beta)
+    step1 = (1.0 - beta) / G
+
+    grid2 = lo1 + step1 * jnp.arange(1, G + 1, dtype=dt) / G
+    ok2 = ess_batch(grid2) >= target_ess
+    i2 = jnp.where(jnp.any(ok2), jnp.max(jnp.where(ok2, jnp.arange(G), -1)), 0)
+    out = jnp.where(jnp.any(ok2), grid2[i2], lo1)
+
+    out = jnp.where(full >= target_ess, 1.0, out)
     # guarantee ladder progress so the while_loop cannot stall short of 1
     return jnp.minimum(jnp.maximum(out, beta + 1e-4), 1.0)
 

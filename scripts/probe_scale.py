@@ -25,11 +25,21 @@ import numpy as np
 V5E_PEAK_BF16 = 197e12
 
 
+def force(out):
+    """Fetch-based completion barrier: block_until_ready under-reports on
+    the relayed axon backend (see bench.py _force); a host fetch of a
+    data-dependent scalar cannot lie."""
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+    return float(sum(jnp.sum(x.astype(jnp.float32)) for x in leaves))
+
+
 def timed(f, *args, n=1):
-    jax.block_until_ready(f(*args))
+    force(f(*args))  # compile + settle
     t0 = time.perf_counter()
     for _ in range(n):
-        out = jax.block_until_ready(f(*args))
+        out = f(*args)
+        force(out)
     return (time.perf_counter() - t0) / n, out
 
 
@@ -42,11 +52,22 @@ def make_logistic():
     import fugue_tpu as ft
     from fugue_tpu.ops import matmul_bf16
 
-    rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.normal(0, 1, (N, D)) / np.sqrt(D), jnp.float32)
-    w_true = rng.normal(0, 1, (D,))
-    logits_true = np.asarray(X, np.float64) @ w_true
-    y = jnp.asarray(rng.uniform(size=N) < 1 / (1 + np.exp(-logits_true)))
+    # dataset generated ON DEVICE: uploading a 400 MB design matrix over
+    # the relayed TPU link takes many minutes (~1 MB/s measured); one
+    # jax.random program generates it in milliseconds where it lives
+    kx, kw, ky = jax.random.split(jax.random.PRNGKey(99), 3)
+
+    @jax.jit
+    def gen():
+        X = (jax.random.normal(kx, (N, D), jnp.bfloat16)
+             / np.sqrt(D).astype(np.float32))
+        w_true = jax.random.normal(kw, (D,), jnp.float32)
+        logits = jnp.matmul(X, w_true.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        y = jax.random.uniform(ky, (N,)) < jax.nn.sigmoid(logits)
+        return X, w_true, y
+
+    X, w_true, y = gen()
 
     def model():
         w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
@@ -60,7 +81,9 @@ def run_logistic():
     from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
     from fugue_tpu.inference.mcmc_utils import split_r_hat
 
+    t0 = time.perf_counter()
     staged, w_true = make_logistic()
+    print(f"staged {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     cfg = HMCConfig(n_leapfrog=L, target_accept=0.9)
 
     def run(i):
@@ -68,43 +91,65 @@ def run_logistic():
                          n_samples=NS, n_warmup=NW, n_chains=C,
                          config=cfg, staged=staged)
 
-    elapsed, res = timed(run)
+    t0 = time.perf_counter()
+    r0 = run(0)
+    # quality/flops stats computed ON DEVICE — a (C,NS,D) fetch over the
+    # relay takes minutes; only scalars cross the wire
+    stats = jax.jit(lambda ws, divs: (
+        jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::128])),
+        jnp.mean(jnp.abs(jnp.mean(ws, axis=(0, 1)) - w_true)),
+        jnp.mean(divs.astype(jnp.float32)),
+    ))
+    rhat0, err0, div0 = [float(x) for x in stats(r0.samples["w"],
+                                                 r0.divergences)]
+    print(f"first run+stats {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    res = run(1)
+    rhat, err, div = [float(x) for x in stats(res.samples["w"],
+                                              res.divergences)]
+    elapsed = time.perf_counter() - t0
     grad_evals = C * (NW + NS) * (L + 1)
     # analytic matmul FLOPs per batched grad eval: fwd (C,D)@(D,N) + bwd
     # (C,N)@(N,D), 2*C*N*D each
-    flops_batched_grad = 4 * C * N * D
-    achieved = flops_batched_grad * (NW + NS) * (L + 1) / elapsed
-    ws = np.asarray(res.samples["w"])  # (C, NS, D)
-    rhats = [float(split_r_hat(ws[:, :, j])) for j in range(0, D, 128)]
-    err = float(np.abs(ws.mean((0, 1)) - w_true).mean())
+    achieved = 4 * C * N * D * (NW + NS) * (L + 1) / elapsed
     print(json.dumps({
         "row": "logistic_d1024_N1e5",
         "wall_s": round(elapsed, 3),
         "grad_evals_per_sec": round(grad_evals / elapsed, 1),
         "analytic_flops_per_sec": round(achieved, 1),
         "pct_v5e_bf16_peak": round(100 * achieved / V5E_PEAK_BF16, 2),
-        "max_rhat_sampled": round(max(rhats), 4),
-        "divergence_rate": round(float(np.asarray(res.divergences).mean()), 5),
+        "max_rhat_sampled": round(rhat, 4),
+        "divergence_rate": round(div, 5),
         "mean_abs_err_vs_true": round(err, 4),
         "step_size": res.step_size,
     }))
 
 
 def run_raw():
-    """Empirical speed-of-light: the same-shape matmul pair alone."""
+    """Empirical speed-of-light: K dependent same-shape matmul pairs (the
+    fwd/bwd pair of the logistic gradient), chained so no layer of the
+    stack can skip or memoize work; timing ends in a scalar fetch."""
     rng = np.random.default_rng(0)
     Xb = jnp.asarray(rng.normal(0, 1, (N, D)), jnp.bfloat16)
-    Wb = jnp.asarray(rng.normal(0, 1, (C, D)), jnp.bfloat16)
+    K = 16
 
     @jax.jit
-    def pair(Wb, r):
-        lo = jnp.matmul(Wb, Xb.T, preferred_element_type=jnp.float32)
-        g = jnp.matmul((lo + r).astype(jnp.bfloat16), Xb,
-                       preferred_element_type=jnp.float32)
-        return g
+    def chain(Wb):
+        def body(w, _):
+            lo = jnp.matmul(w, Xb.T, preferred_element_type=jnp.float32)
+            g = jnp.matmul(
+                jax.nn.sigmoid(lo).astype(jnp.bfloat16), Xb,
+                preferred_element_type=jnp.float32)
+            w = (g / jnp.max(jnp.abs(g))).astype(jnp.bfloat16)
+            return w, ()
+        w, _ = jax.lax.scan(body, Wb, None, length=K)
+        return jnp.sum(w.astype(jnp.float32))
 
-    r = jnp.zeros((C, N), jnp.float32)
-    dt_pair, _ = timed(pair, Wb, r, n=8)
+    Wb = jnp.asarray(rng.normal(0, 1, (C, D)), jnp.bfloat16)
+    dt_chain, _ = timed(chain, Wb, n=2)
+    dt_pair = dt_chain / K
     fl = 4 * C * N * D
     print(json.dumps({
         "row": "raw_matmul_pair",

@@ -35,7 +35,6 @@ import numpy as np
 def main():
     import fugue_tpu as ft
     from fugue_tpu.inference.validation import (
-        ConjugateBetaBernoulliConfig, ConjugateNormalConfig,
         validate_beta_bernoulli, validate_conjugate_normal,
     )
 

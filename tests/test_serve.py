@@ -3,6 +3,7 @@ deployment surface (crates/fugue-wasm/src/lib.rs:1-14). Service-level tests
 drive the dict API; one HTTP round-trip test exercises the real server."""
 
 import json
+import os
 import urllib.request
 
 import numpy as np
@@ -127,3 +128,19 @@ def test_http_round_trip():
         assert out["result"]["dim"] == 1
     finally:
         httpd.shutdown()
+
+
+def test_js_client_methods_match_service():
+    """docs/explorables/fugue_client.js (the browser client, closing the
+    reference's wasm-bindings line) must only call RPC methods the service
+    actually registers — and must cover the full non-introspection surface."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    js = open(os.path.join(repo, "docs", "explorables",
+                           "fugue_client.js")).read()
+    called = set(re.findall(r'this\.rpc\(\s*"([^"]+)"', js))
+    svc = FugueService()
+    registered = set(svc.methods)
+    assert called <= registered, called - registered
+    assert registered - called <= {"methods"}, registered - called
