@@ -92,7 +92,9 @@ def report() -> int:
         hit = hits.get(path, set()) & ex
         tot_exec += len(ex)
         tot_hit += len(hit)
-        pct = 100.0 * len(hit) / max(len(ex), 1)
+        # a file with no executable lines (docstring-only __init__) is
+        # vacuously covered, not 0%
+        pct = 100.0 * len(hit) / len(ex) if ex else 100.0
         rows.append((os.path.relpath(path, REPO), len(ex), len(hit), pct))
     rows.sort(key=lambda r: r[3])
     width = max(len(r[0]) for r in rows)

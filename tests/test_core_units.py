@@ -208,3 +208,49 @@ def test_site_metadata():
     assert staged.observed_addresses == ["y"]
     with pytest.raises(ft.StagingError):
         staged.site("nope")
+
+
+def test_model_combinator_surface():
+    """Full Model-class combinator surface (reference: model.rs:144-716 —
+    pure/sample/observe/factor/guard constructors + map/zip/bind/
+    sequence_vec/traverse_vec), exercised through staging so the monadic
+    wrappers execute under a real handler."""
+    from fugue_tpu.core.model import Model
+
+    def model():
+        m = (
+            Model.sample("a", ft.Normal(0.0, 1.0))
+            .map(lambda a: a * 2.0)
+            .zip(Model.sample("b", ft.Beta(2.0, 2.0)))
+            .bind(lambda ab: Model.pure(ab[0] + ab[1]))
+        )
+        total = m()
+        Model.observe("y", ft.Normal(total, 1.0), jnp.asarray(0.5))()
+        Model.factor(jnp.asarray(-0.25))()
+        Model.guard(True)()
+        pair = Model.sequence_vec(
+            [Model.pure(1.0), Model.sample("c", ft.Normal(0.0, 1.0))]
+        )()
+        extras = Model.traverse_vec(
+            range(2), lambda i: Model.sample(ft.addr("d", i), ft.Normal(0.0, 1.0))
+        )()
+        return total, pair, extras
+
+    staged = ft.stage(model)
+    names = [s.address for s in staged.sites]
+    assert names == sorted(names)
+    assert {"a", "b", "c", "d#0", "d#1"} <= set(names)
+    lat = staged.sample_prior(jax.random.PRNGKey(0))
+    parts = staged.log_density_parts(lat)
+    # factor(-0.25) lands in the factor accumulator
+    assert float(parts.log_factors) == pytest.approx(-0.25)
+
+
+def test_masked_distribution_passthrough_and_repr():
+    from fugue_tpu.core.model import _MaskedDistribution
+
+    inner = ft.Normal(0.0, 1.0)
+    md = _MaskedDistribution(inner, jnp.asarray(True))
+    s = md.sample(jax.random.PRNGKey(0), (4,))
+    assert s.shape == (4,)
+    assert "Masked" in repr(md)
