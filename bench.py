@@ -450,10 +450,10 @@ def bench_scale_logistic():
     import fugue_tpu as ft
     from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
     from fugue_tpu.inference.mcmc_utils import split_r_hat
-    from fugue_tpu.ops import matmul_bf16
+    from fugue_tpu.ops import matmul_bf16x2
 
     D, N, C, L = 1024, 100_000, 256, 16
-    NW, NS = 100, 64
+    NW, NS = 200, 128
     # dataset generated ON DEVICE (uploading a 400 MB design matrix over
     # the relayed link takes minutes); stats likewise computed on device —
     # a (C,NS,D) sample fetch would dominate the wall clock
@@ -471,12 +471,27 @@ def bench_scale_logistic():
 
     X, w_true, y = gen()
 
-    def model():
+    def model(Xd, yd):
+        # data passed as stage() ARGUMENTS: large leaves become traced jit
+        # inputs of the drive (never compile-payload constants)
         w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
-        ft.observe("y", ft.BernoulliLogits(matmul_bf16(X, w)), y)
+        ft.observe("y", ft.BernoulliLogits(matmul_bf16x2(Xd, w)), yd)
 
-    staged = ft.stage(model)
-    cfg = HMCConfig(n_leapfrog=L, target_accept=0.9)
+    staged = ft.stage(model, X, y)
+    # MAP-then-HMC with a FIXED kernel chosen from the measured acceptance
+    # curve (accept 0.87 at eps=0.01, L=16 ≈ 0.7 posterior sd/trajectory):
+    # a far-tail init collapses dual averaging on this N=1e5 target, and
+    # midpoint mass re-estimation from 100 barely-mixed draws does too
+    # (probe_accept session r3) — the at-scale workflow is warm start +
+    # pre-tuned kernel, both first-class APIs
+    from fugue_tpu.inference.map_laplace import MAPConfig, map_estimate
+
+    m = map_estimate(
+        jax.random.PRNGKey(20), staged=staged,
+        config=MAPConfig(n_iterations=120, optimizer="lbfgs", n_restarts=1),
+    )
+    cfg = HMCConfig(step_size=0.01, n_leapfrog=L,
+                    adapt_step_size=False, adapt_mass=False)
 
     stats = jax.jit(lambda ws, divs: (
         jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::128])),
@@ -487,7 +502,8 @@ def bench_scale_logistic():
     def run(i):
         r = hmc_chain(jax.random.fold_in(jax.random.PRNGKey(21), i),
                       n_samples=NS, n_warmup=NW, n_chains=C,
-                      config=cfg, staged=staged)
+                      config=cfg, staged=staged,
+                      init_position=m.z, init_jitter=0.05)
         return [float(x) for x in stats(r.samples["w"], r.divergences)] + [
             r.step_size]
 
@@ -496,24 +512,31 @@ def bench_scale_logistic():
     rhat, err, div, eps = run(1)
     elapsed = time.perf_counter() - t0
     n_grad = (NW + NS) * (L + 1)
-    achieved = 4 * C * N * D * n_grad / elapsed
+    # useful (f32-equivalent) FLOPs: fwd (C,D)@(D,N) + bwd, 2*C*N*D each;
+    # the split-precision kernel executes 2x that in hardware bf16 flops
+    useful = 4 * C * N * D * n_grad / elapsed
+    hardware = 2 * useful
 
-    # empirical same-shape roofline: K dependent fwd/bwd matmul pairs
+    # empirical same-shape roofline: K dependent split-precision grad pairs
+    # (the same 4-matmul pattern the potential gradient runs)
     K = 16
 
     @jax.jit
-    def mm_chain(Wb):
-        def body(w, _):
-            lo = jnp.matmul(w, X.T, preferred_element_type=jnp.float32)
-            g = jnp.matmul(jax.nn.sigmoid(lo).astype(jnp.bfloat16), X,
-                           preferred_element_type=jnp.float32)
-            return (g / jnp.max(jnp.abs(g))).astype(jnp.bfloat16), ()
-        w, _ = jax.lax.scan(body, Wb, None, length=K)
-        return jnp.sum(w.astype(jnp.float32))
+    def mm_chain(W0):
+        from fugue_tpu.ops import matmul_bf16x2
 
-    Wb0 = jax.random.normal(jax.random.PRNGKey(5), (C, D), jnp.bfloat16)
-    dt_chain, _ = _timed(lambda i: mm_chain(Wb0 + i), 0, reps=1)
-    roof = 4 * C * N * D / (dt_chain / K)
+        def body(w, _):
+            def pot(w):
+                return jnp.sum(jax.nn.softplus(
+                    jax.vmap(lambda ww: matmul_bf16x2(X, ww))(w)))
+            g = jax.grad(pot)(w)
+            return w - 1e-6 * g, ()
+        w, _ = jax.lax.scan(body, W0, None, length=K)
+        return jnp.sum(w)
+
+    Wb0 = jax.random.normal(jax.random.PRNGKey(5), (C, D), jnp.float32)
+    dt_chain, _ = _timed(lambda i: mm_chain(Wb0 + i * 0.01), 0, reps=1)
+    roof_useful = 4 * C * N * D / (dt_chain / K)
 
     ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
     rate = C * n_grad / elapsed
@@ -523,10 +546,12 @@ def bench_scale_logistic():
         "unit": "grad-evals/s",
         "vs_baseline": round(rate * ref_grad_sec, 1),
         "wall_s": round(elapsed, 3),
-        "analytic_flops_per_sec": round(achieved, 1),
-        "pct_v5e_bf16_peak": round(100 * achieved / V5E_PEAK_BF16_FLOPS, 2),
-        "empirical_roofline_flops_per_sec": round(roof, 1),
-        "pct_of_empirical_roofline": round(100 * achieved / roof, 1),
+        "useful_flops_per_sec": round(useful, 1),
+        "hardware_bf16_flops_per_sec": round(hardware, 1),
+        "pct_v5e_bf16_peak_hardware": round(
+            100 * hardware / V5E_PEAK_BF16_FLOPS, 2),
+        "empirical_roofline_useful_flops_per_sec": round(roof_useful, 1),
+        "pct_of_empirical_roofline": round(100 * useful / roof_useful, 1),
         "max_rhat_sampled": round(rhat, 4),
         "divergence_rate": round(div, 5),
         "mean_abs_coef_err": round(err, 4),
@@ -564,13 +589,13 @@ def bench_scale_densemass():
 
     Xj, yj, pmean, psd = gen()
 
-    def model():
+    def model(Xd, yd):
         w = ft.sample(
             "w", ft.MultivariateNormal(jnp.zeros(DD), scale_tril=Lj)
         )
-        ft.observe("y", ft.Normal(Xj @ w, 1.0), yj)
+        ft.observe("y", ft.Normal(Xd @ w, 1.0), yd)
 
-    staged = ft.stage(model)
+    staged = ft.stage(model, Xj, yj)
     cfg = HMCConfig(n_leapfrog=L, mass="dense", target_accept=0.9)
 
     stats = jax.jit(lambda ws, divs: (
@@ -628,12 +653,12 @@ def bench_scale_plate():
 
     Y = gen()
 
-    def model():
+    def model(Yd):
         mu = ft.sample("mu", ft.Normal(0.0, 1.0))
         theta = ft.sample("theta", ft.Normal(mu, 1.0), sample_shape=(PG,))
-        ft.observe("Y", ft.Normal(theta[:, None], 1.0), Y)
+        ft.observe("Y", ft.Normal(theta[:, None], 1.0), Yd)
 
-    staged = ft.stage(model)
+    staged = ft.stage(model, Y)
     cfg = HMCConfig(n_leapfrog=L)
 
     stats = jax.jit(lambda th, divs: (

@@ -353,10 +353,12 @@ def make_chees_drive(
             carry, _ = jax.lax.scan(warm_body, carry, xs2)
 
         Q_w, da_w, logT_w, logT_bar_w, _, _, inv_mass_f = carry
+        # adaptation off -> the configured eps (da.log_eps is updated by the
+        # shared warmup body regardless; see hmc.make_hmc_drive)
         eps_f = (
             jnp.exp(da_w.log_eps_bar)
             if (config.adapt_step_size and n_warmup > 0)
-            else jnp.exp(da_w.log_eps)
+            else eps0
         )
         T_f = jnp.exp(logT_bar_w if n_warmup > 0 else logT_w)
 
@@ -436,23 +438,39 @@ def chees_chain(
     else:
         mode = None
 
+    # large stage() data arguments flow in as TRACED jit arguments, not
+    # baked closure constants (StagedModel.data_leaves)
+    data = staged.data_leaves()
+
+    def build():
+        raw = make_chees_drive(
+            staged, config, n_chains, n_samples, n_warmup,
+            discrete=discrete,
+        )
+        if mode == "resume":
+            def full(q0, k_eps, k_run, eps0, T0, im0, *dl):
+                with staged.bind_data(dl):
+                    return raw(q0, k_eps, k_run, eps_over=eps0,
+                               T_over=T0, inv_mass_over=im0)
+        else:
+            def full(q0, k_eps, k_run, *dl):
+                with staged.bind_data(dl):
+                    return raw(q0, k_eps, k_run)
+        return jax.jit(full)
+
     inner = staged.cached_kernel(
         ("chees", config, n_chains, n_samples, n_warmup,
          _discrete_key(discrete), mode),
-        lambda: jax.jit(
-            make_chees_drive(
-                staged, config, n_chains, n_samples, n_warmup,
-                discrete=discrete,
-            )
-        ),
+        build,
     )
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 29), 3)
     if mode == "resume":
         q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = inner(
             q_resume, k_eps, k_run,
-            eps_over=jnp.asarray(resume.step_size, dt),
-            T_over=jnp.asarray(resume.trajectory_length, dt),
-            inv_mass_over=jnp.asarray(resume.inv_mass, dt),
+            jnp.asarray(resume.step_size, dt),
+            jnp.asarray(resume.trajectory_length, dt),
+            jnp.asarray(resume.inv_mass, dt),
+            *data,
         )
     else:
         if init_position is not None:
@@ -463,7 +481,7 @@ def chees_chain(
         else:
             q0 = initial_positions(staged, k_init, n_chains, config.init)
         q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = inner(
-            q0, k_eps, k_run
+            q0, k_eps, k_run, *data
         )
     positions = jnp.moveaxis(qs, 0, 1)  # (chains, samples, d)
     samples = constrain_positions(staged, positions)

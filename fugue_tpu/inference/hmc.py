@@ -570,10 +570,13 @@ def make_hmc_drive(
             carry = (q2, da2, w2, im2, ema2)
 
         q_w, da_w, _, inv_mass_f, _ = carry
+        # adaptation off -> the CONFIGURED eps; da.log_eps is updated by the
+        # warmup scan regardless (shared body), so reading it here when
+        # adapt_step_size=False returned runaway garbage (scale-tier bug r3)
         eps_final = (
             jnp.exp(da_w.log_eps_bar)
             if (config.adapt_step_size and n_warmup > 0)
-            else jnp.exp(da_w.log_eps)
+            else eps0
         )
 
         def sample_body(q, k):
@@ -671,6 +674,11 @@ def hmc_chain(
     else:
         mode = "fresh"
 
+    # large stage() data arguments flow in as TRACED jit arguments instead
+    # of baked closure constants (StagedModel.data_leaves — keeps giant
+    # design matrices out of the serialized compile payload)
+    data = staged.data_leaves()
+
     def build_drive():
         inner = make_hmc_drive(
             staged, config, n_chains, n_samples, n_warmup,
@@ -678,21 +686,33 @@ def hmc_chain(
         )
 
         if mode == "resume":
-            def full(k, q0, eps0, im0):
-                _, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
-                return inner(q0, k_eps, k_run, eps_over=eps0, inv_mass_over=im0)
+            def full(k, q0, eps0, im0, *dl):
+                with staged.bind_data(dl):
+                    _, k_eps, k_run = jax.random.split(
+                        jax.random.fold_in(k, 7), 3
+                    )
+                    return inner(q0, k_eps, k_run, eps_over=eps0,
+                                 inv_mass_over=im0)
         elif mode == "fresh":
-            def full(k):
-                k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
-                q0 = initial_positions(staged, k_init, n_chains, config.init)
-                return inner(q0, k_eps, k_run)
+            def full(k, *dl):
+                with staged.bind_data(dl):
+                    k_init, k_eps, k_run = jax.random.split(
+                        jax.random.fold_in(k, 7), 3
+                    )
+                    q0 = initial_positions(
+                        staged, k_init, n_chains, config.init
+                    )
+                    return inner(q0, k_eps, k_run)
         else:
-            def full(k, q_init):
-                k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(k, 7), 3)
-                q0 = _warm_start_batch(
-                    staged, k_init, n_chains, q_init, init_jitter
-                )
-                return inner(q0, k_eps, k_run)
+            def full(k, q_init, *dl):
+                with staged.bind_data(dl):
+                    k_init, k_eps, k_run = jax.random.split(
+                        jax.random.fold_in(k, 7), 3
+                    )
+                    q0 = _warm_start_batch(
+                        staged, k_init, n_chains, q_init, init_jitter
+                    )
+                    return inner(q0, k_eps, k_run)
 
         return jax.jit(full)
 
@@ -704,12 +724,12 @@ def hmc_chain(
     if mode == "resume":
         out = drive(
             key, q_resume, jnp.asarray(resume.step_size, dt),
-            jnp.asarray(resume.inv_mass, dt),
+            jnp.asarray(resume.inv_mass, dt), *data,
         )
     elif mode == "fresh":
-        out = drive(key)
+        out = drive(key, *data)
     else:
-        out = drive(key, init_q)
+        out = drive(key, init_q, *data)
     q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = out
 
     # constrain positions -> per-site sample arrays (n_chains, n_samples, ...)

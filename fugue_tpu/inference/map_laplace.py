@@ -134,22 +134,26 @@ def map_estimate(
             lj, grad = jax.value_and_grad(fn)(z)
             return z, -lj, jnp.linalg.norm(grad), hist
 
-        def drive(key, z_init, disc):
-            zs = jnp.concatenate(
-                [
-                    z_init[None],
-                    jax.vmap(staged.initial_position)(
-                        chain_keys(key, max(config.n_restarts - 1, 1))
-                    ),
-                ]
-            )[: config.n_restarts]
-            return jax.vmap(one_restart, in_axes=(0, None))(zs, disc)
+        def drive(key, z_init, disc, *dl):
+            # large stage() data arguments arrive as traced inputs, not
+            # baked compile-payload constants (StagedModel.data_leaves)
+            with staged.bind_data(dl):
+                zs = jnp.concatenate(
+                    [
+                        z_init[None],
+                        jax.vmap(staged.initial_position)(
+                            chain_keys(key, max(config.n_restarts - 1, 1))
+                        ),
+                    ]
+                )[: config.n_restarts]
+                return jax.vmap(one_restart, in_axes=(0, None))(zs, disc)
 
         return jax.jit(drive)
 
     drive = staged.cached_kernel(("map", config), build)
     z_init = staged.unconstrain(staged._discovery_trace.latents())
-    zs, ljs, gnorms, hists = drive(key, z_init, discrete)
+    zs, ljs, gnorms, hists = drive(key, z_init, discrete,
+                                   *staged.data_leaves())
     best = int(jnp.argmax(ljs))
     z = zs[best]
     latents, _ = staged.constrain(z)

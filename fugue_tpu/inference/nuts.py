@@ -875,10 +875,13 @@ def make_nuts_drive_async(
             q_w, u_w, g_w, da_w = q2, u2, g2, da2
             inv_mass_f = inv_mass1
 
+        # adaptation off -> the CONFIGURED eps; da.log_eps is updated by the
+        # warmup scan regardless (shared body), so reading it here when
+        # adapt_step_size=False returned runaway garbage (scale-tier bug r3)
         eps_final = (
             jnp.exp(da_w.log_eps_bar)
             if (config.adapt_step_size and n_warmup > 0)
-            else jnp.exp(da_w.log_eps)
+            else eps0
         )
 
         # SAMPLING: ring-recorded async by default — each chain pays its
@@ -988,7 +991,7 @@ def make_nuts_drive(
 
         def warm_body(carry, k):
             q, da, welford, inv_mass, ema = carry
-            eps = jnp.exp(da.log_eps)
+            eps = (jnp.exp(da.log_eps) if config.adapt_step_size else eps0)
             keys = jax.random.split(k, n_chains)
             q_new, info = vstep(q, keys, eps, inv_mass)
             a_mean = cross_mean(info["accept_prob"])
@@ -1034,10 +1037,13 @@ def make_nuts_drive(
             carry = (q2, da2, w2, im2, ema2)
 
         q_w, da_w, _, inv_mass_f, _ = carry
+        # adaptation off -> the CONFIGURED eps; da.log_eps is updated by the
+        # warmup scan regardless (shared body), so reading it here when
+        # adapt_step_size=False returned runaway garbage (scale-tier bug r3)
         eps_final = (
             jnp.exp(da_w.log_eps_bar)
             if (config.adapt_step_size and n_warmup > 0)
-            else jnp.exp(da_w.log_eps)
+            else eps0
         )
 
         def sample_body(q, k):
@@ -1125,35 +1131,44 @@ def nuts_chain(
         discrete=discrete, chain_axis=chain_axis,
     )
 
+    # large stage() data arguments flow in as TRACED jit arguments, not
+    # baked closure constants (StagedModel.data_leaves)
+    data = staged.data_leaves()
+
     def build_full():
         if mode == "resume":
             # eps/mass/positions flow in as runtime arguments so repeated
             # resumes share ONE compiled executable (no baked arrays)
-            def full(k, q0, eps0, im0):
-                _, k_eps, k_run = jax.random.split(
-                    jax.random.fold_in(k, 11), 3
-                )
-                return drive(q0, k_eps, k_run, eps_over=eps0,
-                             inv_mass_over=im0)
+            def full(k, q0, eps0, im0, *dl):
+                with staged.bind_data(dl):
+                    _, k_eps, k_run = jax.random.split(
+                        jax.random.fold_in(k, 11), 3
+                    )
+                    return drive(q0, k_eps, k_run, eps_over=eps0,
+                                 inv_mass_over=im0)
         elif mode == "fresh":
-            def full(k):
-                k_init, k_eps, k_run = jax.random.split(
-                    jax.random.fold_in(k, 11), 3
-                )
-                q0 = initial_positions(staged, k_init, n_chains, config.init)
-                return drive(q0, k_eps, k_run)
+            def full(k, *dl):
+                with staged.bind_data(dl):
+                    k_init, k_eps, k_run = jax.random.split(
+                        jax.random.fold_in(k, 11), 3
+                    )
+                    q0 = initial_positions(
+                        staged, k_init, n_chains, config.init
+                    )
+                    return drive(q0, k_eps, k_run)
         else:
             # warm start flows in as a runtime argument: repeated
             # MAP-then-NUTS calls with fresh MAPResult.z arrays reuse ONE
             # compiled executable instead of retracing per array identity
-            def full(k, q_init):
-                k_init, k_eps, k_run = jax.random.split(
-                    jax.random.fold_in(k, 11), 3
-                )
-                q0 = _warm_start_batch(
-                    staged, k_init, n_chains, q_init, init_jitter
-                )
-                return drive(q0, k_eps, k_run)
+            def full(k, q_init, *dl):
+                with staged.bind_data(dl):
+                    k_init, k_eps, k_run = jax.random.split(
+                        jax.random.fold_in(k, 11), 3
+                    )
+                    q0 = _warm_start_batch(
+                        staged, k_init, n_chains, q_init, init_jitter
+                    )
+                    return drive(q0, k_eps, k_run)
 
         return jax.jit(full)
 
@@ -1165,12 +1180,12 @@ def nuts_chain(
     if mode == "resume":
         out = full_drive(
             key, q_resume, jnp.asarray(resume.step_size, dt),
-            jnp.asarray(resume.inv_mass, dt),
+            jnp.asarray(resume.inv_mass, dt), *data,
         )
     elif mode == "fresh":
-        out = full_drive(key)
+        out = full_drive(key, *data)
     else:
-        out = full_drive(key, init_q)
+        out = full_drive(key, init_q, *data)
     q_f, qs, aps, divs, depths, eps_final, inv_mass_f = out
     positions = jnp.moveaxis(qs, 0, 1)
 

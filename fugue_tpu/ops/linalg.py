@@ -16,6 +16,7 @@ No reference counterpart (the reference is scalar Rust, SURVEY.md §2.3
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,3 +40,62 @@ def matmul_bf16(a, b):
 def matvec_bf16(a, x):
     """``a @ x`` for a matrix and vector (vmap-friendly alias)."""
     return matmul_bf16(a, x)
+
+
+def _split_bf16(w):
+    """w (f32) → (hi, lo) bf16 pair with hi + lo ≈ w to ~16 mantissa bits."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@jax.custom_vjp
+def matmul_bf16x2(a, w):
+    """``a @ w`` with bf16 DATA and split-bf16 (pseudo-f32) PARAMETERS.
+
+    Why: a plain bf16 cast of the parameter vector makes the staged
+    potential a deterministically ROUGH function of position — O(1)
+    log-density wiggles at the bf16 ULP scale of ``w`` — which collapses
+    HMC dual averaging toward useless step sizes (measured on the
+    d=1024/N=1e5 logistic row: eps 0.008 → 0.0004, R-hat 54). Splitting
+    w = hi + lo into two bf16 passes keeps both matmuls on the MXU while
+    restoring ~16 mantissa bits of parameter precision, so the wiggle
+    amplitude drops ~2^-8 below the thermal scale. Costs 2x the MXU work
+    of ``matmul_bf16``; the honest roofline halves accordingly.
+
+    The VJP is defined explicitly with the SAME split trick on the
+    cotangent (autodiff through the hi/lo decomposition would bf16-round
+    the tangents — exactly the noise this op exists to remove).
+    """
+    hi, lo = _split_bf16(w.astype(jnp.float32))
+    ab = a.astype(jnp.bfloat16)
+    return (jnp.matmul(ab, hi, preferred_element_type=jnp.float32)
+            + jnp.matmul(ab, lo, preferred_element_type=jnp.float32))
+
+
+def _mm_fwd(a, w):
+    return matmul_bf16x2(a, w), (a, w)
+
+
+def _mm_bwd(res, g):
+    a, w = res
+    ab = a.astype(jnp.bfloat16)
+    g_hi, g_lo = _split_bf16(g.astype(jnp.float32))
+
+    def t(x, y):  # aᵀ-contraction over the shared N axis, f32 accumulate
+        return jnp.tensordot(x, y, axes=((0,), (0,)),
+                             preferred_element_type=jnp.float32)
+
+    # grad wrt w: aᵀ @ g with split-precision cotangent (shape-generic for
+    # vector or matrix w)
+    gw = t(ab, g_hi) + t(ab, g_lo)
+    # grad wrt a: g ⊗ w / g @ wᵀ — data is usually a constant/argument, so
+    # this path is rarely materialized
+    if w.ndim == 1:
+        ga = g[..., :, None] * w[None, :]
+    else:
+        ga = jnp.matmul(g, w.T)
+    return ga.astype(a.dtype), gw.astype(w.dtype)
+
+
+matmul_bf16x2.defvjp(_mm_fwd, _mm_bwd)

@@ -25,6 +25,7 @@ errors when the site table observed during a replay disagrees with discovery.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -144,6 +145,59 @@ class StagedModel:
         self.dim = zoff
         self._discovery_trace = trace
         self._kernel_cache: Dict[Any, Any] = {}
+
+    # -- large data as runtime arguments ------------------------------------
+    #
+    # Array-valued stage() arguments above this size flow into compiled
+    # drives as TRACED ARGUMENTS instead of baked closure constants. Baked
+    # constants are serialized with the program at compile time — on a
+    # relayed compile service a 200 MB design matrix makes the compile
+    # request itself enormous (observed: HTTP 413 from the axon relay) and
+    # every recompile re-ships it. Pass big observed data through
+    # ``stage(model_fn, X, y)`` (NOT via closure capture) to get this.
+
+    DATA_ARG_BYTES = 1 << 20  # 1 MiB
+
+    def _data_info(self):
+        if not hasattr(self, "_data_cache"):
+            leaves, treedef = jax.tree_util.tree_flatten(
+                (self.args, self.kwargs)
+            )
+            idx = [
+                i for i, x in enumerate(leaves)
+                if hasattr(x, "nbytes") and hasattr(x, "dtype")
+                and int(x.nbytes) >= self.DATA_ARG_BYTES
+            ]
+            self._data_cache = (leaves, treedef, idx)
+        return self._data_cache
+
+    def data_leaves(self) -> list:
+        """The large array leaves of the staged model's arguments (possibly
+        empty) — drives pass these as jit arguments and rebind them for the
+        duration of tracing via ``bind_data``."""
+        leaves, _treedef, idx = self._data_info()
+        return [leaves[i] for i in idx]
+
+    @contextlib.contextmanager
+    def bind_data(self, new_leaves):
+        """Swap (traced) replacements for the large data leaves into
+        ``self.args``/``self.kwargs`` while a drive is being traced, so the
+        model replays see tracers instead of concrete constants."""
+        leaves, treedef, idx = self._data_info()
+        if not idx:
+            yield
+            return
+        patched = list(leaves)
+        for i, x in zip(idx, new_leaves):
+            patched[i] = x
+        old = (self.args, self.kwargs)
+        self.args, self.kwargs = jax.tree_util.tree_unflatten(
+            treedef, patched
+        )
+        try:
+            yield
+        finally:
+            self.args, self.kwargs = old
 
     def cached_kernel(self, cache_key, builder: Callable[[], Any]):
         """Engine-kernel cache: compiled drive programs are keyed by their

@@ -308,3 +308,41 @@ def test_bernoulli_logits_glm_end_to_end():
                        n_warmup=300, n_chains=16)
     w_post = np.asarray(res.samples["w"]).mean((0, 1))
     assert np.corrcoef(w_post, w_true)[0, 1] > 0.9
+
+
+def test_matmul_bf16x2_precision_and_exact_vjp():
+    """ops.matmul_bf16x2: split-precision parameter matmul keeps the staged
+    potential SMOOTH at the thermal scale (plain bf16 w-rounding makes it
+    rough and collapses HMC dual averaging — scale-tier finding, r3).
+    Checks: ~3 orders less error than the bf16 cast against the bf16-stored
+    data, and the custom VJP matches f64 finite differences."""
+    from fugue_tpu.ops import matmul_bf16, matmul_bf16x2
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(0, 1, (2000, 64)) / 8, jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, 64), jnp.float32)
+    Ab = np.asarray(A, np.float64).astype(np.float32)  # x64 CPU: emulate
+    Ab = np.asarray(jnp.asarray(Ab, jnp.bfloat16).astype(jnp.float64))
+    exact = Ab @ np.asarray(w, np.float64)
+    e1 = np.abs(np.asarray(matmul_bf16(A, w), np.float64) - exact).max()
+    e2 = np.abs(np.asarray(matmul_bf16x2(A, w), np.float64) - exact).max()
+    assert e2 < e1 / 100
+
+    def loss(w):
+        return jnp.sum(jnp.tanh(matmul_bf16x2(A, w)))
+
+    g = np.asarray(jax.grad(loss)(w), np.float64)
+    eps = 1e-6
+    w64 = np.asarray(w, np.float64)
+    g64 = np.array([
+        (np.sum(np.tanh(Ab @ (w64 + eps * np.eye(64)[j])))
+         - np.sum(np.tanh(Ab @ (w64 - eps * np.eye(64)[j])))) / (2 * eps)
+        for j in range(0, 64, 8)
+    ])
+    rel = np.abs(g[::8] - g64).max() / np.abs(g64).max()
+    assert rel < 1e-4
+
+    # vmap over a parameter batch (the chains axis)
+    W = jnp.asarray(rng.normal(0, 1, (8, 64)), jnp.float32)
+    out = jax.vmap(lambda ww: matmul_bf16x2(A, ww))(W)
+    assert out.shape == (8, 2000)

@@ -364,3 +364,35 @@ def test_resume_reuses_one_executable_across_step_sizes():
         hmc_chain(jax.random.PRNGKey(3), staged=staged, n_samples=10,
                   n_warmup=0, n_chains=4, resume=Warm(),
                   init_position=np.zeros(1))
+
+
+def test_fixed_step_size_survives_warmup():
+    """adapt_step_size=False with n_warmup>0 must hold the configured eps:
+    the shared warmup body updates da.log_eps regardless, and eps_final
+    used to read it back (runaway step sizes — scale-tier bug, r3)."""
+    from fugue_tpu.inference.chees import ChEESConfig, chees_chain
+    from fugue_tpu.inference.nuts import NUTSConfig, nuts_chain
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([0.7, 1.3]))
+
+    staged = ft.stage(model)
+    r = hmc_chain(jax.random.PRNGKey(0), staged=staged, n_samples=50,
+                  n_warmup=60, n_chains=8,
+                  config=HMCConfig(step_size=0.3, adapt_step_size=False,
+                                   adapt_mass=False))
+    assert r.step_size == pytest.approx(0.3, rel=1e-6)
+    assert np.isfinite(np.asarray(r.positions)).all()
+
+    rn = nuts_chain(jax.random.PRNGKey(1), staged=staged, n_samples=50,
+                    n_warmup=60, n_chains=8,
+                    config=NUTSConfig(step_size=0.3, adapt_step_size=False,
+                                      adapt_mass=False))
+    assert rn.step_size == pytest.approx(0.3, rel=1e-6)
+
+    rc = chees_chain(jax.random.PRNGKey(2), staged=staged, n_samples=50,
+                     n_warmup=60, n_chains=16,
+                     config=ChEESConfig(step_size=0.3, adapt_step_size=False,
+                                        adapt_mass=False))
+    assert rc.step_size == pytest.approx(0.3, rel=1e-6)
