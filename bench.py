@@ -518,24 +518,26 @@ def bench_scale_logistic():
     hardware = 2 * useful
 
     # empirical same-shape roofline: K dependent split-precision grad pairs
-    # (the same 4-matmul pattern the potential gradient runs)
+    # (the same 4-matmul pattern the potential gradient runs). X enters as
+    # a jit ARGUMENT — a 200 MB closure constant travels inside the compile
+    # payload and the relay rejects it (HTTP 413)
     K = 16
 
     @jax.jit
-    def mm_chain(W0):
+    def mm_chain(Xa, W0):
         from fugue_tpu.ops import matmul_bf16x2
 
         def body(w, _):
             def pot(w):
                 return jnp.sum(jax.nn.softplus(
-                    jax.vmap(lambda ww: matmul_bf16x2(X, ww))(w)))
+                    jax.vmap(lambda ww: matmul_bf16x2(Xa, ww))(w)))
             g = jax.grad(pot)(w)
             return w - 1e-6 * g, ()
         w, _ = jax.lax.scan(body, W0, None, length=K)
         return jnp.sum(w)
 
     Wb0 = jax.random.normal(jax.random.PRNGKey(5), (C, D), jnp.float32)
-    dt_chain, _ = _timed(lambda i: mm_chain(Wb0 + i * 0.01), 0, reps=1)
+    dt_chain, _ = _timed(lambda i: mm_chain(X, Wb0 + i * 0.01), 0, reps=1)
     roof_useful = 4 * C * N * D / (dt_chain / K)
 
     ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
@@ -683,23 +685,14 @@ def bench_scale_plate():
     n_grad = (NW + NS) * (L + 1)
     rows_per_sec = PC * n_grad * PG * PNB / elapsed
 
-    # empirical roofline: same-shape fused residual reduction + grad
-    @jax.jit
-    def raw(th):
-        def body(t, _):
-            def pot(t):
-                r = Y[None, :, :] - t[:, :, None]
-                return -0.5 * jnp.sum(r * r)
-            v, g = jax.value_and_grad(pot)(t)
-            return t - 1e-9 * g, v
-        t, vs = jax.lax.scan(body, th, None, length=8)
-        return jnp.sum(t) + jnp.sum(vs)
-
-    th0 = jax.random.normal(jax.random.PRNGKey(6), (PC, PG), jnp.float32)
-    dt_raw, _ = _timed(lambda i: raw(th0 + i), 0, reps=1)
-    roof_rows = 8 * PC * PG * PNB / dt_raw
-
+    # roofline framing: the fused per-row normal-logpdf grad is ~10 VPU
+    # flops/row with Y resident (4 MB — fits VMEM), so the row is
+    # VPU-compute-bound; a hand-written "same-shape" residual kernel that
+    # materializes the (chains, rows) tensor measured 14x SLOWER than the
+    # staged drive (HBM-bound), so it is NOT a valid ceiling — we report
+    # achieved useful FLOP/s instead of a pct-of-roofline for this row
     flops_eval = PG * PNB * 10
+    useful_flops = PC * n_grad * flops_eval / elapsed
     ref_grad_sec = 2 * (PG + 2) * (flops_eval / SCALAR_CORE_FLOPS)
     return {
         "submetric": "scale_plate_1e6_rows_obs_grad_rows_per_sec",
@@ -709,10 +702,7 @@ def bench_scale_plate():
             (PC * n_grad / elapsed) * ref_grad_sec, 1
         ),
         "wall_s": round(elapsed, 3),
-        "empirical_roofline_rows_per_sec": round(roof_rows, 1),
-        "pct_of_empirical_roofline": round(
-            100 * rows_per_sec / roof_rows, 1
-        ),
+        "useful_flops_per_sec": round(useful_flops, 1),
         "max_group_mean_err_in_sd": round(err, 3),
         "r_hat_theta0": round(rhat, 4),
         "divergence_rate": round(div, 5),
