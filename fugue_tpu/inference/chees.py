@@ -75,6 +75,10 @@ class ChEESConfig:
     step_size: Optional[float] = None  # None → reasonable-epsilon search
     target_accept: float = 0.651  # optimal for jittered fixed-L HMC (paper §4)
     adapt_rate: float = 0.025  # Adam learning rate on log T
+    # cap on the learned trajectory length AFTER mass adaptation, in units
+    # of the preconditioned oscillation period 2pi (guards the criterion's
+    # spurious multi-period maxima; see make_chees_drive)
+    max_trajectory_periods: float = 1.0
     max_leapfrog: int = 1024  # hard cap on steps per trajectory
     adapt_step_size: bool = True
     adapt_mass: bool = True
@@ -286,35 +290,38 @@ def make_chees_drive(
         inv_mass0 = (jnp.ones((d,), dt) if inv_mass_over is None
                      else jnp.asarray(inv_mass_over, dt))
 
-        def warm_body(carry, xs):
-            Q, da, logT, logT_bar, adam, welford, inv_mass = carry
-            k, h, it = xs
-            eps = jnp.exp(da.log_eps) if config.adapt_step_size else eps0
-            T = jnp.exp(logT)
-            Q_out, Q_prop, P_end, ap, acc, div, L = transition(
-                Q, k, eps, T, h, inv_mass
-            )
-            da_new = dual_averaging_update(
-                da, cmean(ap), config.target_accept
-            )
-            # criterion compares the PROPOSAL against the pre-transition state
-            g = chees_grad(Q, Q_prop, P_end, ap, h, inv_mass)
-            adam_new, step = _adam_step(
-                adam, -g * jnp.exp(logT), config.adapt_rate
-            )  # ascent on ChEES
-            logT_new = jnp.clip(
-                logT - step,
-                jnp.log(eps) - 1.0,
-                jnp.log(config.max_leapfrog * eps),
-            )
-            # Polyak-style averaging with the dual-averaging schedule weight
-            eta = jnp.power(adam_new.t, -0.75)
-            logT_bar_new = eta * logT_new + (1.0 - eta) * logT_bar
-            welford_new = welford_push_batch(welford, Q_out)
-            return (
-                Q_out, da_new, logT_new, logT_bar_new, adam_new,
-                welford_new, inv_mass,
-            ), cmean(ap)
+        def make_warm_body(log_t_cap):
+            def warm_body(carry, xs):
+                Q, da, logT, logT_bar, adam, welford, inv_mass = carry
+                k, h, it = xs
+                eps = jnp.exp(da.log_eps) if config.adapt_step_size else eps0
+                T = jnp.exp(logT)
+                Q_out, Q_prop, P_end, ap, acc, div, L = transition(
+                    Q, k, eps, T, h, inv_mass
+                )
+                da_new = dual_averaging_update(
+                    da, cmean(ap), config.target_accept
+                )
+                # criterion compares the PROPOSAL against the pre-transition state
+                g = chees_grad(Q, Q_prop, P_end, ap, h, inv_mass)
+                adam_new, step = _adam_step(
+                    adam, -g * jnp.exp(logT), config.adapt_rate
+                )  # ascent on ChEES
+                logT_new = jnp.clip(
+                    logT - step,
+                    jnp.log(eps) - 1.0,
+                    jnp.minimum(jnp.log(config.max_leapfrog * eps), log_t_cap),
+                )
+                # Polyak-style averaging with the dual-averaging schedule weight
+                eta = jnp.power(adam_new.t, -0.75)
+                logT_bar_new = eta * logT_new + (1.0 - eta) * logT_bar
+                welford_new = welford_push_batch(welford, Q_out)
+                return (
+                    Q_out, da_new, logT_new, logT_bar_new, adam_new,
+                    welford_new, inv_mass,
+                ), cmean(ap)
+
+            return warm_body
 
         n_half = n_warmup // 2
         carry = (
@@ -324,13 +331,24 @@ def make_chees_drive(
         # First warmup half (skipped entirely when n_half == 0, e.g.
         # n_warmup == 1, so exactly n_warmup transitions run and the halton
         # sequence stays aligned with the sampling phase).
+        # trajectory-length cap: the ChEES criterion has spurious maxima at
+        # MULTIPLES of the target's oscillation period (T ~= k*2pi leaves
+        # q' ~= q), and an unlucky warmup can ride one to a long, divergent
+        # trajectory (observed T ~= 5 periods on eight-schools, r3 bench).
+        # After diagonal mass adaptation the preconditioned period is ~2pi,
+        # so the second warmup half clips log T there; the first half (mass
+        # still unit) only has the max_leapfrog bound.
+        inf_cap = jnp.asarray(jnp.inf, dt)
+        post_mass_cap = jnp.log(
+            jnp.asarray(2.0 * jnp.pi * config.max_trajectory_periods, dt)
+        )
         if n_half > 0:
             xs1 = (
                 jax.random.split(jax.random.fold_in(k_run, 0), n_half),
                 halton[:n_half],
                 jnp.arange(n_half),
             )
-            carry, _ = jax.lax.scan(warm_body, carry, xs1)
+            carry, _ = jax.lax.scan(make_warm_body(inf_cap), carry, xs1)
             Q1, da1, logT1, logT_bar1, adam1, welford1, _ = carry
             if config.adapt_mass:
                 if chain_axis is not None:
@@ -350,7 +368,8 @@ def make_chees_drive(
                 halton[n_half : n_half + n_rest],
                 jnp.arange(n_rest),
             )
-            carry, _ = jax.lax.scan(warm_body, carry, xs2)
+            cap2 = post_mass_cap if config.adapt_mass else inf_cap
+            carry, _ = jax.lax.scan(make_warm_body(cap2), carry, xs2)
 
         Q_w, da_w, logT_w, logT_bar_w, _, _, inv_mass_f = carry
         # adaptation off -> the configured eps (da.log_eps is updated by the
@@ -360,7 +379,12 @@ def make_chees_drive(
             if (config.adapt_step_size and n_warmup > 0)
             else eps0
         )
-        T_f = jnp.exp(logT_bar_w if n_warmup > 0 else logT_w)
+        logT_final = logT_bar_w if n_warmup > 0 else logT_w
+        if config.adapt_mass and n_warmup > 0:
+            # the Polyak average can carry pre-cap (first-half) mass; the
+            # frozen sampling T must honor the post-mass-adaptation cap too
+            logT_final = jnp.minimum(logT_final, post_mass_cap)
+        T_f = jnp.exp(logT_final)
 
         def sample_body(Q, xs):
             k, h = xs

@@ -293,3 +293,21 @@ def test_resume_continues_with_warmed_kernel():
         chees_chain(jax.random.PRNGKey(3), staged=staged, n_samples=10,
                     n_warmup=0, n_chains=16, resume=first,
                     init_position=np.zeros(1))
+
+
+def test_trajectory_cap_bounds_learned_T():
+    """The ChEES criterion has spurious maxima at period MULTIPLES (T ~=
+    k*2pi leaves q' ~= q); after mass adaptation the learned T must stay
+    within max_trajectory_periods preconditioned periods (r3 bench caught a
+    seed riding T to ~5 periods with 4x the divergence rate)."""
+    def model():
+        ft.sample("x", ft.Normal(0.0, 1.0), sample_shape=(4,))
+
+    r = chees_chain(jax.random.PRNGKey(0), model, n_samples=100,
+                    n_warmup=400, n_chains=32)
+    assert r.trajectory_length <= 2 * np.pi + 1e-3
+
+    r2 = chees_chain(jax.random.PRNGKey(0), model, n_samples=100,
+                     n_warmup=400, n_chains=32,
+                     config=ChEESConfig(max_trajectory_periods=0.25))
+    assert r2.trajectory_length <= 0.5 * np.pi + 1e-3
