@@ -330,7 +330,10 @@ def bench_smc():
     import fugue_tpu as ft
     from fugue_tpu.inference.smc import SMCConfig, adaptive_smc
 
-    n_particles = 16384
+    # 131072 particles: the size at which the chip is device-bound rather
+    # than dispatch/fetch-bound (probe_smc r3: 16k particles ran in the
+    # fixed ~30 ms overhead floor; at 131k the run is ~90% device work)
+    n_particles = 131072
     staged = ft.stage(hierarchical_model)
     cfg = SMCConfig(rejuvenation_steps=3)
 
@@ -353,7 +356,7 @@ def bench_smc():
     logz_err = abs(float(res_c.log_evidence) - conjugate_log_evidence())
 
     return {
-        "submetric": "smc_particle_stages_per_sec_20site_16384particles",
+        "submetric": "smc_particle_stages_per_sec_20site_131072particles",
         "value": round(rate, 1),
         "unit": "particle-stages/s",
         "vs_baseline": round(rate / ref_rate, 2),
@@ -399,7 +402,7 @@ def bench_smc_hmc():
     import fugue_tpu as ft
     from fugue_tpu.inference.smc import SMCConfig, adaptive_smc
 
-    n_particles = 16384
+    n_particles = 131072
     staged = ft.stage(hierarchical_model)
     cfg = SMCConfig(rejuvenation="hmc", rejuvenation_steps=2, hmc_leapfrog=8)
 

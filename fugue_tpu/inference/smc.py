@@ -414,12 +414,26 @@ def adaptive_smc(
             # full likelihood (reference: smc.rs:484-493)
             log_w = ll0
             log_z = log_sum_exp(gathered(log_w)) - jnp.log(jnp.asarray(N, dt))
-            return latents0, log_w, log_z, jnp.ones((), jnp.int32)
+            return _finish(latents0, log_w, log_z,
+                           jnp.ones((), jnp.int32))
 
         latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = (
             jax.lax.while_loop(cond, body, init)
         )
-        return latents, log_w, log_z, stage_i
+        return _finish(latents, log_w, log_z, stage_i)
+
+    def _finish(latents, log_w, log_z, stage_i):
+        # normalized weights + scalar stats computed INSIDE the compiled
+        # drive and the scalars PACKED into one array: each separate host
+        # conversion costs a ~26 ms relay round trip, and at 16k particles
+        # those fetches dominated the whole run (probe_smc, r3)
+        lwg = gathered(log_w)
+        lse = log_sum_exp(lwg)
+        weights = jnp.exp(log_w - lse)
+        packed = jnp.stack([
+            log_z, stage_i.astype(dt), effective_sample_size(lwg),
+        ])
+        return latents, log_w, weights, packed
 
     def build_drive():
         if mesh is None:
@@ -435,7 +449,7 @@ def adaptive_smc(
             drive,
             mesh,
             in_specs=(_P(), _P()),
-            out_specs=(latent_specs, _P(axis_name), _P(), _P()),
+            out_specs=(latent_specs, _P(axis_name), _P(axis_name), _P()),
         )
         return jax.jit(mapped)
 
@@ -443,15 +457,15 @@ def adaptive_smc(
         ("smc_drive", N, config, None if mesh is None else id(mesh)),
         build_drive,
     )
-    latents, log_w, log_z, n_stages = jit_drive(k_init, k_loop)
-    weights, _ = normalize_log_weights(log_w)
+    latents, log_w, weights, packed = jit_drive(k_init, k_loop)
+    packed = np.asarray(packed)  # ONE host transfer for all scalar stats
     return SMCResult(
         particles=latents,
         log_weights=log_w,
         weights=weights,
-        log_evidence=float(np.asarray(log_z)),
-        n_stages=int(np.asarray(n_stages)),
-        ess=float(np.asarray(effective_sample_size(log_w))),
+        log_evidence=float(packed[0]),
+        n_stages=int(packed[1]),
+        ess=float(packed[2]),
     )
 
 
