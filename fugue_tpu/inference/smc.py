@@ -33,11 +33,7 @@ import numpy as np
 from .. import settings
 from ..core.numerics import log_sum_exp
 from ..core.rng import chain_keys
-from ..ops.resampling import (
-    RESAMPLERS,
-    effective_sample_size,
-    normalize_log_weights,
-)
+from ..ops.resampling import RESAMPLERS, effective_sample_size
 from ..runtime.staging import StagedModel, stage
 from .mcmc_utils import AdaptationState, adapt_update
 from .mh import MHState, mh_step
