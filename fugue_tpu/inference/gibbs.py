@@ -50,26 +50,32 @@ class GibbsResult:
     step_size: float
 
 
-def gibbs_chain(
-    key,
-    model_fn: Optional[Callable] = None,
-    n_samples: int = 1000,
-    n_warmup: int = 500,
-    config: HMCConfig = HMCConfig(n_leapfrog=16),
+def make_gibbs_drive(
+    staged: StagedModel,
+    config: HMCConfig,
+    n_chains: int,
+    n_samples: int,
+    n_warmup: int,
     *,
-    n_chains: int = 1,
-    model_args: tuple = (),
-    staged: Optional[StagedModel] = None,
     discrete_scale: float = 1.0,
-) -> GibbsResult:
-    """Alternating HMC (continuous block) + single-site MH (discrete sites)."""
-    if staged is None:
-        staged = stage(model_fn, *model_args)
+    chain_axis: Optional[str] = None,
+):
+    """Pure ``(k_init, k_eps, k_run) → arrays`` HMC-within-Gibbs program —
+    the ``make_hmc_drive`` factory contract, so the one program jits on a
+    chip OR runs inside ``shard_map`` with the chain batch sharded over
+    ``chain_axis`` (the dual-averaging acceptance statistic and the
+    initial-ε consensus reduce with ``pmean``)."""
     dt = settings.real_dtype()
     d = staged.dim
     disc_sites = staged.discrete_sites
     if d == 0:
         raise ValueError("no continuous sites; use adaptive_mcmc_chain")
+
+    def cross_mean(x):
+        m = jnp.mean(x)
+        if chain_axis is not None:
+            m = jax.lax.pmean(m, chain_axis)
+        return m
 
     proposals = {s.address: make_site_proposal(s.support) for s in disc_sites}
 
@@ -117,9 +123,6 @@ def gibbs_chain(
         acc_rate = n_acc / max(len(disc_sites), 1)
         return (z_new, disc), info.accept_prob, acc_rate
 
-    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
-
-    @jax.jit
     def drive(k_init, k_eps, k_run):
         zs, discs = jax.vmap(init_one)(chain_keys(k_init, n_chains))
         if config.step_size is not None:
@@ -129,6 +132,9 @@ def gibbs_chain(
             eps0 = find_reasonable_epsilon(
                 lambda zz: potential(zz, d0), zs[0], k_eps, jnp.ones((d,), dt)
             )
+            if chain_axis is not None:
+                # consensus initial step size across shards
+                eps0 = jnp.exp(jax.lax.pmean(jnp.log(eps0), chain_axis))
         da0 = DualAveragingState.init(eps0)
 
         vsweep = jax.vmap(sweep, in_axes=((0, 0), 0, None, None))
@@ -138,7 +144,7 @@ def gibbs_chain(
             keys = jax.random.split(k, n_chains)
             new_state, ap, _ = vsweep(state, keys, jnp.exp(da.log_eps), None)
             da_new = dual_averaging_update(
-                da, jnp.mean(ap), config.target_accept
+                da, cross_mean(ap), config.target_accept
             )
             return (new_state, da_new), None
 
@@ -160,6 +166,37 @@ def gibbs_chain(
         _, (cont, disc, aps, dacc) = jax.lax.scan(sample_body, state, skeys)
         return cont, disc, aps, dacc, eps_f
 
+    return drive
+
+
+def gibbs_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    config: HMCConfig = HMCConfig(n_leapfrog=16),
+    *,
+    n_chains: int = 1,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete_scale: float = 1.0,
+) -> GibbsResult:
+    """Alternating HMC (continuous block) + single-site MH (discrete sites).
+
+    Sharded variant: ``fugue_tpu.parallel.sharded_gibbs_chain``."""
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+
+    drive = staged.cached_kernel(
+        ("gibbs", config, n_chains, n_samples, n_warmup, discrete_scale),
+        lambda: jax.jit(
+            make_gibbs_drive(
+                staged, config, n_chains, n_samples, n_warmup,
+                discrete_scale=discrete_scale,
+            )
+        ),
+    )
+    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
     cont, disc, aps, dacc, eps_f = drive(k_init, k_eps, k_run)
     samples = {a: jnp.moveaxis(v, 0, 1) for a, v in {**cont, **disc}.items()}
     return GibbsResult(

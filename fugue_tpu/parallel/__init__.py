@@ -19,6 +19,7 @@ from .mesh import (
 from .sharded import (
     sharded_chees_chain,
     sharded_ess_chain,
+    sharded_gibbs_chain,
     sharded_hmc_chain,
     sharded_nuts_chain,
     sharded_pt_chain,
@@ -40,6 +41,7 @@ __all__ = [
     "replicated",
     "sharded_chees_chain",
     "sharded_ess_chain",
+    "sharded_gibbs_chain",
     "sharded_hmc_chain",
     "sharded_nuts_chain",
     "sharded_pt_chain",

@@ -545,3 +545,90 @@ def sharded_ess_chain(
         mean_shrink_iters=float(np.asarray(jnp.mean(iters.astype(dt)))),
         final_flat=f_f,
     )
+
+
+def sharded_gibbs_chain(
+    key,
+    model_fn: Optional[Callable] = None,
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    config=None,
+    *,
+    n_chains: int = 8,
+    mesh: Optional[Mesh] = None,
+    model_args: tuple = (),
+    staged: Optional[StagedModel] = None,
+    discrete_scale: float = 1.0,
+    chain_axes=None,
+):
+    """HMC-within-Gibbs with the chain batch sharded across ``mesh``
+    (completes the VERDICT r2 item-7 engine set: every drive runs under
+    ``shard_map``). The dual-averaging acceptance statistic and the
+    initial-ε search reduce with ``pmean`` so every shard adapts the same
+    continuous-block kernel; discrete MH sweeps are chain-local."""
+    from ..inference.gibbs import GibbsResult, make_gibbs_drive
+    from ..inference.hmc import HMCConfig
+
+    if config is None:
+        config = HMCConfig(n_leapfrog=16)
+    if staged is None:
+        staged = stage(model_fn, *model_args)
+    if mesh is None:
+        mesh = make_chain_mesh()
+    chain_axes = _resolve_chain_axes(mesh, chain_axes)
+    ax_el = _chain_spec_element(chain_axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in chain_axes]))
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
+    per_shard = n_chains // n_dev
+
+    drive = make_gibbs_drive(
+        staged, config, per_shard, n_samples, n_warmup,
+        discrete_scale=discrete_scale, chain_axis=ax_el,
+    )
+
+    def shard_fn(k_init, k_eps, k_run):
+        idx = flat_axis_index(mesh, chain_axes)
+        return drive(
+            jax.random.fold_in(k_init, idx), k_eps,
+            jax.random.fold_in(k_run, idx),
+        )
+
+    cont_specs = {
+        s.address: P(None, ax_el, *([None] * len(s.shape)))
+        for s in staged.continuous_sites
+    }
+    disc_specs = {
+        s.address: P(None, ax_el, *([None] * len(s.shape)))
+        for s in staged.discrete_sites
+    }
+
+    def build_mapped():
+        mapped = _shard_map(
+            shard_fn,
+            mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(
+                cont_specs,              # (n_samples, chains, ...)
+                disc_specs,
+                P(None, ax_el),          # hmc accept prob
+                P(None, ax_el),          # discrete accept rate
+                P(),                     # eps (pmean consensus, replicated)
+            ),
+        )
+        return jax.jit(mapped)
+
+    jit_mapped = staged.cached_kernel(
+        ("sharded_gibbs", config, n_chains, n_samples, n_warmup,
+         discrete_scale, id(mesh), chain_axes),
+        build_mapped,
+    )
+    k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
+    cont, disc, aps, dacc, eps_f = jit_mapped(k_init, k_eps, k_run)
+    samples = {a: jnp.moveaxis(v, 0, 1) for a, v in {**cont, **disc}.items()}
+    return GibbsResult(
+        samples=samples,
+        accept_prob_hmc=jnp.mean(aps, axis=0),
+        accept_rate_discrete=jnp.mean(dacc),
+        step_size=float(np.asarray(eps_f)),
+    )

@@ -354,3 +354,32 @@ def test_sharded_ess_posterior(mesh):
     assert x.var() == pytest.approx(post_var, rel=0.15)
     # shards genuinely differ (key folding worked)
     assert not np.allclose(x[0], x[8])
+
+
+def test_sharded_gibbs_posterior(mesh):
+    """HMC-within-Gibbs sharded over chains: the mixed continuous+discrete
+    switch model recovers the exact conditional (VERDICT r2 item 7 — the
+    last engine without a sharded variant)."""
+    from fugue_tpu.parallel.sharded import sharded_gibbs_chain
+
+    def switch():
+        z = ft.sample("z", ft.Bernoulli(0.7))
+        th = ft.sample("theta", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(th + jnp.where(z, 1.0, -1.0), 1.0),
+                   jnp.array(0.8))
+
+    res = sharded_gibbs_chain(jax.random.PRNGKey(0), switch, n_samples=800,
+                              n_warmup=300, n_chains=16, mesh=mesh)
+    th = np.asarray(res.samples["theta"])
+    zs = np.asarray(res.samples["z"])
+    assert th.shape == (16, 800)
+    # exact posterior: P(z=1|y) and E[theta|y] by 2-component conjugacy
+    from scipy import stats as st
+    m1 = st.norm(1.0, np.sqrt(2)).pdf(0.8) * 0.7
+    m0 = st.norm(-1.0, np.sqrt(2)).pdf(0.8) * 0.3
+    pz = m1 / (m1 + m0)
+    e_th = pz * (0.8 - 1.0) / 2 + (1 - pz) * (0.8 + 1.0) / 2
+    assert abs(zs.mean() - pz) < 0.04
+    assert abs(th.mean() - e_th) < 0.05
+    # shards genuinely differ (key folding worked)
+    assert not np.allclose(th[0], th[2])
