@@ -165,6 +165,7 @@ from .inference.validation import (
     validate_beta_bernoulli,
     validate_conjugate_normal,
 )
+from .inference.sbc import SBCResult, sbc
 
 # L3: runtime — handlers, interpreters, traces, staging
 from .runtime.handler import Handler, run

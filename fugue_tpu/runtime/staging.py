@@ -158,32 +158,39 @@ class StagedModel:
 
     DATA_ARG_BYTES = 1 << 20  # 1 MiB
 
-    def _data_info(self):
-        if not hasattr(self, "_data_cache"):
+    def _data_info(self, min_bytes: Optional[int] = None):
+        if min_bytes is None:
+            min_bytes = self.DATA_ARG_BYTES
+        cache = getattr(self, "_data_cache", None)
+        if cache is None:
+            cache = self._data_cache = {}
+        if min_bytes not in cache:
             leaves, treedef = jax.tree_util.tree_flatten(
                 (self.args, self.kwargs)
             )
             idx = [
                 i for i, x in enumerate(leaves)
                 if hasattr(x, "nbytes") and hasattr(x, "dtype")
-                and int(x.nbytes) >= self.DATA_ARG_BYTES
+                and int(x.nbytes) >= min_bytes
             ]
-            self._data_cache = (leaves, treedef, idx)
-        return self._data_cache
+            cache[min_bytes] = (leaves, treedef, idx)
+        return cache[min_bytes]
 
-    def data_leaves(self) -> list:
+    def data_leaves(self, min_bytes: Optional[int] = None) -> list:
         """The large array leaves of the staged model's arguments (possibly
         empty) — drives pass these as jit arguments and rebind them for the
-        duration of tracing via ``bind_data``."""
-        leaves, _treedef, idx = self._data_info()
+        duration of tracing via ``bind_data``. ``min_bytes=0`` selects
+        EVERY array leaf (used by harnesses that substitute whole datasets,
+        e.g. simulation-based calibration)."""
+        leaves, _treedef, idx = self._data_info(min_bytes)
         return [leaves[i] for i in idx]
 
     @contextlib.contextmanager
-    def bind_data(self, new_leaves):
-        """Swap (traced) replacements for the large data leaves into
+    def bind_data(self, new_leaves, min_bytes: Optional[int] = None):
+        """Swap (traced) replacements for the selected data leaves into
         ``self.args``/``self.kwargs`` while a drive is being traced, so the
         model replays see tracers instead of concrete constants."""
-        leaves, treedef, idx = self._data_info()
+        leaves, treedef, idx = self._data_info(min_bytes)
         if not idx:
             yield
             return
