@@ -80,6 +80,7 @@ DISTRIBUTIONS = {
     "halfcauchy": dist_mod.HalfCauchy,
     "geometric": dist_mod.Geometric,
     "negativebinomial": dist_mod.NegativeBinomial,
+    "bernoulli_logits": dist_mod.BernoulliLogits,
 }
 
 BUILTINS = {

@@ -159,6 +159,23 @@ def main():
         "mean_err": round(abs(float(mu_draws.mean()) - qm), 4),
     }
 
+    # 4) simulation-based calibration on the f32 path: the strongest gate —
+    #    uniform ranks certify the whole HMC pipeline, no closed form needed
+    from fugue_tpu.inference.sbc import sbc
+
+    def sbc_model(data):
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        sig = ft.sample("sig", ft.LogNormal(0.0, 0.5))
+        ft.observe("y", ft.Normal(mu, sig), data["y"])
+
+    r = sbc(jax.random.PRNGKey(8), sbc_model, {"y": jnp.zeros(8)},
+            n_datasets=128, n_posterior=63, n_warmup=200, thin=4)
+    results["sbc_f32"] = {
+        "passed": bool(r.passed),
+        "min_p_value": round(float(r.p_values.min()), 4),
+        "n_datasets": int(r.ranks.shape[0]),
+    }
+
     all_passed = all(v["passed"] for v in results.values())
     artifact = {
         "device": dev,

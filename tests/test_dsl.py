@@ -187,3 +187,17 @@ return tau
     res = ft.adaptive_mcmc_chain(jax.random.PRNGKey(0), staged=staged,
                                  n_samples=200, n_warmup=200, n_chains=4)
     assert np.isfinite(np.asarray(res.samples["tau"])).all()
+
+
+def test_bernoulli_logits_in_dsl():
+    src = """
+let w <- sample("w", normal(0.0, 1.0));
+observe("y", bernoulli_logits(w * 2.0), data[0]);
+return w
+"""
+    compiled = compile_model(src)
+    model_fn = compiled.build({"data": [1]})
+    staged = ft.stage(model_fn)
+    assert staged.dim == 1
+    lp = float(staged.log_joint(staged.sample_prior(jax.random.PRNGKey(0))))
+    assert np.isfinite(lp)
