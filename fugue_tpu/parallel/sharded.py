@@ -119,18 +119,24 @@ def sharded_hmc_chain(
         staged, config, per_shard, n_samples, n_warmup,
         discrete=discrete, chain_axis=ax_el,
     )
+    # large stage() data arguments enter the shard-mapped program as traced
+    # inputs, replicated across shards (StagedModel.data_leaves — keeps
+    # giant design matrices out of the compile payload on pods too)
+    data = staged.data_leaves()
 
-    def shard_fn(q0_local, k_eps, k_run):
+    def shard_fn(q0_local, k_eps, k_run, *dl):
         # distinct per-shard sampling streams, deterministic per layout
-        idx = flat_axis_index(mesh, chain_axes)
-        k_run_local = jax.random.fold_in(k_run, idx)
-        return drive(q0_local, k_eps, k_run_local)
+        with staged.bind_data(dl):
+            idx = flat_axis_index(mesh, chain_axes)
+            k_run_local = jax.random.fold_in(k_run, idx)
+            return drive(q0_local, k_eps, k_run_local)
 
     def build_mapped():
         mapped = _shard_map(
             shard_fn,
             mesh,
-            in_specs=(P(ax_el, None), P(), P()),
+            in_specs=(P(ax_el, None), P(), P())
+            + tuple(P() for _ in data),
             out_specs=(
                 P(ax_el, None),          # q_f (chains, d)
                 P(None, ax_el, None),    # qs (n_samples, chains, d)
@@ -150,7 +156,9 @@ def sharded_hmc_chain(
          chain_axes, _sharded_discrete_key(discrete)),
         build_mapped,
     )
-    q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = jit_mapped(q0, k_eps, k_run)
+    q_f, qs, ljs, aps, divs, eps_final, inv_mass_f = jit_mapped(
+        q0, k_eps, k_run, *data
+    )
 
     positions = jnp.moveaxis(qs, 0, 1)
 
@@ -212,17 +220,20 @@ def sharded_nuts_chain(
         staged, config, per_shard, n_samples, n_warmup,
         discrete=discrete, chain_axis=ax_el,
     )
+    data = staged.data_leaves()  # traced data args, replicated per shard
 
-    def shard_fn(q0_local, k_eps, k_run):
-        idx = flat_axis_index(mesh, chain_axes)
-        k_run_local = jax.random.fold_in(k_run, idx)
-        return drive(q0_local, k_eps, k_run_local)
+    def shard_fn(q0_local, k_eps, k_run, *dl):
+        with staged.bind_data(dl):
+            idx = flat_axis_index(mesh, chain_axes)
+            k_run_local = jax.random.fold_in(k_run, idx)
+            return drive(q0_local, k_eps, k_run_local)
 
     def build_mapped():
         mapped = _shard_map(
             shard_fn,
             mesh,
-            in_specs=(P(ax_el, None), P(), P()),
+            in_specs=(P(ax_el, None), P(), P())
+            + tuple(P() for _ in data),
             out_specs=(
                 P(ax_el, None),          # q_f (chains, d)
                 P(None, ax_el, None),    # qs (n_samples, chains, d)
@@ -240,7 +251,9 @@ def sharded_nuts_chain(
          chain_axes, _sharded_discrete_key(discrete)),
         build_mapped,
     )
-    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = jit_mapped(q0, k_eps, k_run)
+    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = jit_mapped(
+        q0, k_eps, k_run, *data
+    )
 
     positions = jnp.moveaxis(qs, 0, 1)
     return NUTSResult(
@@ -301,17 +314,20 @@ def sharded_chees_chain(
         staged, config, per_shard, n_samples, n_warmup,
         discrete=discrete, chain_axis=ax_el,
     )
+    data = staged.data_leaves()  # traced data args, replicated per shard
 
-    def shard_fn(q0_local, k_eps, k_run):
-        idx = flat_axis_index(mesh, chain_axes)
-        k_run_local = jax.random.fold_in(k_run, idx)
-        return drive(q0_local, k_eps, k_run_local)
+    def shard_fn(q0_local, k_eps, k_run, *dl):
+        with staged.bind_data(dl):
+            idx = flat_axis_index(mesh, chain_axes)
+            k_run_local = jax.random.fold_in(k_run, idx)
+            return drive(q0_local, k_eps, k_run_local)
 
     def build_mapped():
         mapped = _shard_map(
             shard_fn,
             mesh,
-            in_specs=(P(ax_el, None), P(), P()),
+            in_specs=(P(ax_el, None), P(), P())
+            + tuple(P() for _ in data),
             out_specs=(
                 P(ax_el, None),          # q_f (chains, d)
                 P(None, ax_el, None),    # qs (n_samples, chains, d)
@@ -332,7 +348,7 @@ def sharded_chees_chain(
         build_mapped,
     )
     q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = jit_mapped(
-        q0, k_eps, k_run
+        q0, k_eps, k_run, *data
     )
 
     positions = jnp.moveaxis(qs, 0, 1)

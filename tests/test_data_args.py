@@ -86,3 +86,21 @@ def test_bind_data_restores_on_exit():
     with staged.bind_data([X + 1.0]):
         assert staged.args[0] is not X
     assert staged.args is orig_args or staged.args[0] is X
+
+
+def test_sharded_hmc_threads_data_args():
+    """Sharded drives also take large stage() data as traced arguments
+    (replicated per shard) — the pod-scale counterpart of the single-chip
+    data-as-arguments path."""
+    from fugue_tpu.parallel.mesh import make_chain_mesh
+    from fugue_tpu.parallel.sharded import sharded_hmc_chain
+
+    X, y, w_true = _make(n=40_000, d=8, seed=1)
+    staged = ft.stage(_linreg_model, X, y)
+    assert staged.data_leaves()
+    mesh = make_chain_mesh()
+    res = sharded_hmc_chain(jax.random.PRNGKey(0), staged=staged,
+                            n_samples=150, n_warmup=150, n_chains=16,
+                            mesh=mesh)
+    w_post = np.asarray(res.samples["w"]).mean((0, 1))
+    np.testing.assert_allclose(w_post, w_true, atol=0.06)
