@@ -75,9 +75,17 @@ class ChEESConfig:
     step_size: Optional[float] = None  # None → reasonable-epsilon search
     target_accept: float = 0.651  # optimal for jittered fixed-L HMC (paper §4)
     adapt_rate: float = 0.025  # Adam learning rate on log T
-    # cap on the learned trajectory length AFTER mass adaptation, in units
-    # of the preconditioned oscillation period 2pi (guards the criterion's
-    # spurious multi-period maxima; see make_chees_drive)
+    # Cap on the learned trajectory length AFTER mass adaptation, in units
+    # of the preconditioned oscillation period 2pi. The ChEES criterion has
+    # spurious maxima at period MULTIPLES (measured: one seed rode T to ~5
+    # periods, 4x the divergence rate), so by default the post-mass T is
+    # clamped to ONE period. TRADEOFF: the one-period argument assumes the
+    # diagonal mass fully preconditions the target; on strongly correlated
+    # posteriors the ChEES-optimal T can legitimately exceed one period and
+    # the default cap then shortens trajectories (more steps to the same
+    # ESS). If ``ChEESResult.trajectory_cap_reached`` is True and the run
+    # shows low divergence, consider raising this (e.g. 2.0) or using
+    # mass="dense" engines (NUTS) for the correlated geometry.
     max_trajectory_periods: float = 1.0
     max_leapfrog: int = 1024  # hard cap on steps per trajectory
     adapt_step_size: bool = True
@@ -95,6 +103,10 @@ class ChEESResult:
     divergences: Any  # (n_chains, n_samples)
     step_size: float
     trajectory_length: float  # adapted T (pre-jitter maximum)
+    # True when the learned T sits AT the max_trajectory_periods cap — the
+    # cap is binding, and a larger max_trajectory_periods may mix better
+    # (see ChEESConfig.max_trajectory_periods)
+    trajectory_cap_reached: bool
     mean_leapfrog: float  # average steps per post-warmup transition
     inv_mass: Any
     final_positions: Any
@@ -509,6 +521,8 @@ def chees_chain(
         )
     positions = jnp.moveaxis(qs, 0, 1)  # (chains, samples, d)
     samples = constrain_positions(staged, positions)
+    T_float = float(np.asarray(T_f))
+    t_cap = 2.0 * np.pi * config.max_trajectory_periods
     return ChEESResult(
         samples=samples,
         positions=positions,
@@ -516,7 +530,11 @@ def chees_chain(
         accept_prob=aps,
         divergences=jnp.moveaxis(divs, 0, 1),
         step_size=float(np.asarray(eps_f)),
-        trajectory_length=float(np.asarray(T_f)),
+        trajectory_length=T_float,
+        trajectory_cap_reached=bool(
+            config.adapt_mass and n_warmup > 0
+            and T_float >= t_cap * (1.0 - 1e-5)
+        ),
         mean_leapfrog=float(np.asarray(mean_L)),
         inv_mass=inv_mass_f,
         final_positions=q_f,
@@ -524,8 +542,10 @@ def chees_chain(
 
 
 def _discrete_key(discrete):
-    # Identity-based (matching hmc.py's _discrete_cache_key): the discrete
-    # VALUES are baked into the jitted drive closure as constants, so keying
-    # on site names alone would let a second call with different conditioning
-    # values silently reuse the first call's compiled kernel.
-    return None if discrete is None else id(discrete)
+    # Content-keyed (hmc.py's _discrete_cache_key): the discrete VALUES are
+    # baked into the jitted drive closure as constants; an id()-based key
+    # can be recycled after gc and silently reuse the first call's compiled
+    # kernel with stale conditioning (ADVICE r3).
+    from .hmc import _discrete_cache_key
+
+    return _discrete_cache_key(discrete)

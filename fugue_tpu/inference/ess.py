@@ -284,8 +284,9 @@ def ess_chain(
 
 
 def _discrete_key(discrete):
-    # Identity-based (matching hmc.py's _discrete_cache_key): the discrete
-    # VALUES are closed over in the jitted drive via make_ess_transition, so
-    # keying on names alone would make a second call with different values
-    # (e.g. alternating Gibbs sweeps) silently reuse stale conditioning.
-    return None if discrete is None else id(discrete)
+    # Content-keyed (hmc.py's _discrete_cache_key): the discrete VALUES are
+    # closed over in the jitted drive via make_ess_transition; an id()-based
+    # key can be recycled after gc and reuse stale conditioning (ADVICE r3).
+    from .hmc import _discrete_cache_key
+
+    return _discrete_cache_key(discrete)

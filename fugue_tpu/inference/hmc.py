@@ -409,7 +409,23 @@ def find_reasonable_epsilon(
 
 
 def _discrete_cache_key(discrete):
-    return None if discrete is None else id(discrete)
+    """Content-keyed cache key for a discrete-conditioning dict.
+
+    The discrete VALUES are baked into compiled drive closures as
+    constants, so the key must distinguish different conditioning values.
+    Keyed by CONTENT (address, dtype, shape, bytes), not ``id()``: an
+    id-keyed entry is only sound while something pins the dict alive, and a
+    gc'd dict's id can be recycled by a new dict — silently returning a
+    stale compiled kernel with the old baked values (ADVICE r3). Content
+    keys also let two equal dicts share one executable.
+    """
+    if discrete is None:
+        return None
+    return tuple(
+        (a, str(np.asarray(v).dtype), np.asarray(v).shape,
+         np.asarray(v).tobytes())
+        for a, v in sorted(discrete.items())
+    )
 
 
 def initial_positions(staged: StagedModel, key, n_chains: int, init: str):

@@ -651,6 +651,11 @@ def make_nuts_drive_async(
 
         total_chains = psum_if_sharded(jnp.asarray(n_chains, dt))
         keys = chain_keys(key, n_chains)
+        # With adaptation OFF the phase must run at the configured/initial
+        # eps: da.log_eps is still mutated by _da_fractional_update below
+        # (shared body), and reading it made warmup run at a runaway step
+        # size even though sampling used the fixed eps (ADVICE r3 medium —
+        # same bug class as the r3 scale-tier eps_final fix at `drive`).
         eps_start = jnp.exp(da.log_eps)
         rc0 = jnp.zeros((n_chains, max_depth + 1, d), dt)
         v_fresh = jax.vmap(
@@ -668,7 +673,10 @@ def make_nuts_drive_async(
 
         def body_iter(c, _):
             da_c = c["da"]
-            eps_shared = jnp.exp(da_c.log_eps)
+            eps_shared = (
+                jnp.exp(da_c.log_eps) if config.adapt_step_size
+                else eps_start
+            )
             S2, t2, q2, u2, g2, stats = v_advance(
                 c["S"], c["t"], c["q"], c["u"], c["g"],
                 n_phase, eps_shared, inv_mass,
@@ -863,6 +871,10 @@ def make_nuts_drive_async(
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
             else:
                 inv_mass1 = im0
+            if not config.adapt_step_size:
+                # phase 1 mutated da1 despite adaptation being off (shared
+                # body); phase 2 must start from the configured eps again
+                da1 = DualAveragingState.init(eps0)
             u1, g1 = jax.vmap(vg_fn)(q1)
             q2, _, _, ema2, da2, _ = run_phase(
                 q1, u1, g1, jnp.full((n_chains,), 0.5, dt),

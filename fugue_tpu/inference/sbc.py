@@ -102,6 +102,11 @@ def sbc(
     """
     if config is None:
         config = HMCConfig(n_leapfrog=16)
+    # coerce template values to arrays so EVERY observed leaf passes
+    # bind_data's nbytes/dtype filter — a python-float leaf would otherwise
+    # be silently skipped and the sampler would condition on the template
+    # value instead of the generated draw (ADVICE r3)
+    data_template = {k: np.asarray(v) for k, v in data_template.items()}
     staged = stage(model_fn, data_template)
     staged_inf = (staged if inference_model_fn is None
                   else stage(inference_model_fn, data_template))
@@ -154,6 +159,9 @@ def sbc(
         }
         z_true = staged_inf.unconstrain(latents).astype(dt)
         data_m = {a: tr.choices[a].value for a in template_keys}
+        # template values are coerced to arrays above, so this full
+        # flatten aligns 1:1 with bind_data's selected leaves (and
+        # bind_data now asserts the lengths match — ADVICE r3)
         new_leaves = jax.tree_util.tree_flatten(((data_m,), {}))[0]
         with staged_inf.bind_data(new_leaves, min_bytes=0):
             q0 = initial_positions(staged_inf, k_init, 1, config.init)

@@ -30,7 +30,12 @@ import numpy as np
 
 from .. import settings
 from ..runtime.staging import StagedModel, stage
-from .hmc import constrain_positions, hmc_transition, initial_positions
+from .hmc import (
+    _discrete_cache_key,
+    constrain_positions,
+    hmc_transition,
+    initial_positions,
+)
 
 
 @dataclass(frozen=True)
@@ -230,9 +235,9 @@ def pt_chain(
 
     drive = staged.cached_kernel(
         ("pt_drive", config, n_chains, n_samples, n_warmup,
-         # identity-keyed: discrete VALUES are baked into the drive closure
+         # content-keyed: discrete VALUES are baked into the drive closure
          # (hmc.py _discrete_cache_key convention)
-         None if discrete is None else id(discrete)),
+         _discrete_cache_key(discrete)),
         lambda: jax.jit(
             make_pt_drive(
                 staged, config, n_chains, n_samples, n_warmup,

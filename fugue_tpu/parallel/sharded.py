@@ -46,10 +46,12 @@ def _shard_map(f, mesh, in_specs, out_specs):
 
 
 def _sharded_discrete_key(discrete):
-    # Identity-based (hmc.py's _discrete_cache_key convention): discrete
-    # values are baked into the shard-mapped drive closure, so the cache key
-    # must distinguish different conditioning dicts, not just site names.
-    return None if discrete is None else id(discrete)
+    # Content-keyed (hmc.py's _discrete_cache_key): discrete values are
+    # baked into the shard-mapped drive closure, and an id()-based key can
+    # be recycled after gc, silently reusing stale conditioning (ADVICE r3).
+    from ..inference.hmc import _discrete_cache_key
+
+    return _discrete_cache_key(discrete)
 
 
 def _resolve_chain_axes(mesh: Mesh, chain_axes) -> tuple:
@@ -352,6 +354,8 @@ def sharded_chees_chain(
     )
 
     positions = jnp.moveaxis(qs, 0, 1)
+    T_float = float(np.asarray(T_f))
+    t_cap = 2.0 * np.pi * config.max_trajectory_periods
     return ChEESResult(
         samples=constrain_positions(staged, positions),
         positions=positions,
@@ -359,7 +363,11 @@ def sharded_chees_chain(
         accept_prob=aps,
         divergences=jnp.moveaxis(divs, 0, 1),
         step_size=float(np.asarray(eps_f)),
-        trajectory_length=float(np.asarray(T_f)),
+        trajectory_length=T_float,
+        trajectory_cap_reached=bool(
+            config.adapt_mass and n_warmup > 0
+            and T_float >= t_cap * (1.0 - 1e-5)
+        ),
         mean_leapfrog=float(np.asarray(mean_L)),
         inv_mass=inv_mass_f,
         final_positions=q_f,

@@ -194,6 +194,19 @@ class StagedModel:
         if not idx:
             yield
             return
+        new_leaves = list(new_leaves)
+        if len(new_leaves) != len(idx):
+            # the zip below pairs positionally — a silent length mismatch
+            # (e.g. a caller flattening a template that carries non-array
+            # leaves the nbytes/dtype filter skipped) would bind the wrong
+            # arrays to the wrong slots (ADVICE r3)
+            raise StagingError(
+                ErrorCode.NOT_STAGEABLE,
+                "bind_data got a different number of replacement leaves "
+                "than the staged model's selected data leaves; pass "
+                "replacements for exactly data_leaves(min_bytes)",
+                {"expected": len(idx), "got": len(new_leaves)},
+            )
         patched = list(leaves)
         for i, x in zip(idx, new_leaves):
             patched[i] = x

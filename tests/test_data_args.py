@@ -104,3 +104,26 @@ def test_sharded_hmc_threads_data_args():
                             mesh=mesh)
     w_post = np.asarray(res.samples["w"]).mean((0, 1))
     np.testing.assert_allclose(w_post, w_true, atol=0.06)
+
+
+def test_bind_data_rejects_misaligned_leaf_count():
+    """ADVICE r3 (low): bind_data zips replacement leaves positionally
+    against the nbytes/dtype-filtered index list; a silent length mismatch
+    would bind the wrong arrays to the wrong slots."""
+    import pytest
+
+    from fugue_tpu.errors import StagingError
+
+    data = {"y": jnp.zeros(4)}
+
+    def model(d):
+        mu = ft.sample("mu", ft.Normal(0.0, 1.0))
+        ft.observe("y", ft.Normal(mu, 1.0), d["y"])
+
+    staged = ft.stage(model, data)
+    good = staged.data_leaves(min_bytes=0)
+    with staged.bind_data(good, min_bytes=0):
+        pass  # exact count is fine
+    with pytest.raises(StagingError, match="replacement leaves"):
+        with staged.bind_data(good + [jnp.zeros(4)], min_bytes=0):
+            pass

@@ -396,3 +396,42 @@ def test_fixed_step_size_survives_warmup():
                      config=ChEESConfig(step_size=0.3, adapt_step_size=False,
                                         adapt_mass=False))
     assert rc.step_size == pytest.approx(0.3, rel=1e-6)
+
+
+def test_discrete_cache_key_is_content_based():
+    """ADVICE r3 (low): id()-keyed discrete cache entries are only sound
+    while the dict is pinned alive — a gc'd dict's id can be recycled and
+    silently return a stale compiled kernel. Content keys make recycling
+    impossible AND let equal dicts share one executable."""
+    import gc
+
+    from fugue_tpu.inference.hmc import _discrete_cache_key
+
+    a = {"k": np.asarray(True)}
+    b = {"k": np.asarray(True)}
+    c = {"k": np.asarray(False)}
+    assert _discrete_cache_key(a) == _discrete_cache_key(b)
+    assert _discrete_cache_key(a) != _discrete_cache_key(c)
+    assert _discrete_cache_key(None) is None
+    # a recycled id must not alias a different-content dict's key
+    key_a = _discrete_cache_key(a)
+    del a
+    gc.collect()
+    d = {"k": np.asarray(False)}
+    assert _discrete_cache_key(d) != key_a
+
+    # end-to-end: equal-content dicts (different objects) share a kernel
+    def model():
+        k = ft.sample("k", ft.Bernoulli(0.5))
+        ft.sample("mu", ft.Normal(jnp.where(k, 4.0, -4.0), 0.5))
+
+    staged = ft.stage(model)
+    kw = dict(n_samples=50, n_warmup=50, n_chains=4, staged=staged)
+    hmc_chain(jax.random.PRNGKey(0), discrete={"k": jnp.asarray(True)}, **kw)
+    n = len(staged._kernel_cache)
+    hmc_chain(jax.random.PRNGKey(1), discrete={"k": jnp.asarray(True)}, **kw)
+    assert len(staged._kernel_cache) == n  # same content, no rebuild
+    r0 = hmc_chain(jax.random.PRNGKey(2),
+                   discrete={"k": jnp.asarray(False)}, **kw)
+    assert len(staged._kernel_cache) == n + 1  # new content, new kernel
+    assert float(np.mean(np.asarray(r0.samples["mu"]))) < -2.0

@@ -299,3 +299,42 @@ def test_resume_continues_with_warmed_kernel():
         nuts_chain(jax.random.PRNGKey(3), staged=staged, n_samples=10,
                    n_warmup=0, n_chains=8, resume=first,
                    init_position=np.zeros(1))
+
+
+def test_async_fixed_eps_warmup_respects_configured_step_size_f32():
+    """ADVICE r3 (medium): with ``adapt_step_size=False`` and ``n_warmup>0``
+    the ASYNC drive's warmup ran at ``exp(da.log_eps)`` while the fractional
+    DA update kept mutating it — warmup ran at DA-equilibrium step sizes
+    instead of the configured one (the exact r3 scale-tier failure, on the
+    default loop mode). The sharp invariant: with adaptation OFF the entire
+    run must be bitwise INDEPENDENT of ``target_accept`` (the only way DA
+    state can leak into the result is through the warmup step size). Run in
+    f32 — the chip dtype where the r3 failure was observed."""
+    jax.config.update("jax_enable_x64", False)
+    try:
+        def model():
+            return ft.sample("x", ft.Normal(0.0, 1.0), sample_shape=(4,))
+
+        def run(target_accept):
+            return nuts_chain(
+                jax.random.PRNGKey(11), model, n_samples=300, n_warmup=200,
+                config=NUTSConfig(
+                    step_size=0.5, adapt_step_size=False,
+                    target_accept=target_accept,
+                ),
+                n_chains=8,
+            )
+
+        lo, hi = run(0.3), run(0.95)
+        xs = np.asarray(lo.samples["x"])  # (chains, samples, 4)
+        assert xs.dtype == np.float32
+        np.testing.assert_array_equal(xs, np.asarray(hi.samples["x"]))
+        assert lo.step_size == pytest.approx(0.5, abs=1e-6)
+        # and the run is statistically sane at the configured eps
+        assert xs.std() == pytest.approx(1.0, rel=0.1)
+        assert abs(xs.mean()) < 0.1
+        assert np.asarray(lo.divergences).mean() < 0.02
+        im = np.asarray(lo.inv_mass)
+        assert np.all(im > 0.3) and np.all(im < 3.0)
+    finally:
+        jax.config.update("jax_enable_x64", True)
