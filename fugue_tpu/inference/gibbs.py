@@ -48,6 +48,11 @@ class GibbsResult:
     accept_prob_hmc: Any
     accept_rate_discrete: Any
     step_size: float
+    # full inter-sweep state (the reference's all-state-in-a-value
+    # discipline, hmc.rs:604-642): pass the result as ``resume=`` to
+    # continue the run
+    final_positions: Any = None  # (n_chains, d) unconstrained
+    final_discrete: Optional[Dict[str, Any]] = None  # addr -> (n_chains, ...)
 
 
 def make_gibbs_drive(
@@ -123,9 +128,19 @@ def make_gibbs_drive(
         acc_rate = n_acc / max(len(disc_sites), 1)
         return (z_new, disc), info.accept_prob, acc_rate
 
-    def drive(k_init, k_eps, k_run):
-        zs, discs = jax.vmap(init_one)(chain_keys(k_init, n_chains))
-        if config.step_size is not None:
+    def drive(k_init, k_eps, k_run, state_over=None, eps_over=None):
+        # ``state_over``/``eps_over``: runtime (traced) resume overrides —
+        # Gibbs's full inter-sweep state is (continuous positions, discrete
+        # values, ε); as jit ARGUMENTS one executable serves every resumed
+        # state (hmc drive convention)
+        if state_over is not None:
+            zs, discs = state_over
+            zs = jnp.asarray(zs, dt)
+        else:
+            zs, discs = jax.vmap(init_one)(chain_keys(k_init, n_chains))
+        if eps_over is not None:
+            eps0 = jnp.asarray(eps_over, dt)
+        elif config.step_size is not None:
             eps0 = jnp.asarray(config.step_size, dt)
         else:
             d0 = {a: v[0] for a, v in discs.items()}
@@ -163,8 +178,10 @@ def make_gibbs_drive(
             return new_state, (cont, disc_new, ap, disc_acc)
 
         skeys = jax.random.split(jax.random.fold_in(k_run, 1), n_samples)
-        _, (cont, disc, aps, dacc) = jax.lax.scan(sample_body, state, skeys)
-        return cont, disc, aps, dacc, eps_f
+        state_f, (cont, disc, aps, dacc) = jax.lax.scan(
+            sample_body, state, skeys
+        )
+        return cont, disc, aps, dacc, eps_f, state_f
 
     return drive
 
@@ -180,28 +197,69 @@ def gibbs_chain(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     discrete_scale: float = 1.0,
+    resume: Optional["GibbsResult"] = None,
 ) -> GibbsResult:
     """Alternating HMC (continuous block) + single-site MH (discrete sites).
+
+    ``resume``: a previous ``GibbsResult`` (or any object with
+    ``final_positions`` (n_chains, d), ``final_discrete`` and
+    ``step_size``) — sampling continues from the full sweep state with the
+    warmed kernel (warmup skipped, ε adaptation frozen). State flows in as
+    runtime arguments, so repeated resumes share one executable.
 
     Sharded variant: ``fugue_tpu.parallel.sharded_gibbs_chain``."""
     if staged is None:
         staged = stage(model_fn, *model_args)
 
-    drive = staged.cached_kernel(
-        ("gibbs", config, n_chains, n_samples, n_warmup, discrete_scale),
-        lambda: jax.jit(
-            make_gibbs_drive(
-                staged, config, n_chains, n_samples, n_warmup,
-                discrete_scale=discrete_scale,
+    dt = settings.real_dtype()
+    mode = "fresh"
+    if resume is not None:
+        n_warmup = 0
+        q_resume = jnp.asarray(resume.final_positions, dt)
+        if q_resume.shape != (n_chains, staged.dim):
+            raise ValueError(
+                f"resume positions {q_resume.shape} do not match "
+                f"(n_chains={n_chains}, d={staged.dim})"
             )
-        ),
+        disc_resume = dict(resume.final_discrete or {})
+        want = {s.address for s in staged.discrete_sites}
+        if set(disc_resume) != want:
+            raise ValueError(
+                f"resume discrete sites {sorted(disc_resume)} do not match "
+                f"the model's {sorted(want)}"
+            )
+        mode = "resume"
+
+    def build():
+        inner = make_gibbs_drive(
+            staged, config, n_chains, n_samples, n_warmup,
+            discrete_scale=discrete_scale,
+        )
+        if mode == "resume":
+            return jax.jit(lambda ki, ke, kr, z0, d0, e0: inner(
+                ki, ke, kr, state_over=(z0, d0), eps_over=e0))
+        return jax.jit(inner)
+
+    drive = staged.cached_kernel(
+        ("gibbs", config, n_chains, n_samples, n_warmup, discrete_scale,
+         mode),
+        build,
     )
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
-    cont, disc, aps, dacc, eps_f = drive(k_init, k_eps, k_run)
+    if mode == "resume":
+        cont, disc, aps, dacc, eps_f, state_f = drive(
+            k_init, k_eps, k_run, q_resume, disc_resume,
+            jnp.asarray(resume.step_size, dt),
+        )
+    else:
+        cont, disc, aps, dacc, eps_f, state_f = drive(k_init, k_eps, k_run)
+    z_f, disc_f = state_f
     samples = {a: jnp.moveaxis(v, 0, 1) for a, v in {**cont, **disc}.items()}
     return GibbsResult(
         samples=samples,
         accept_prob_hmc=jnp.mean(aps, axis=0),
         accept_rate_discrete=jnp.mean(dacc),
         step_size=float(np.asarray(eps_f)),
+        final_positions=z_f,
+        final_discrete=disc_f,
     )

@@ -112,6 +112,13 @@ class SMCConfig:
     resampling: str = "systematic"
     initial_scale: float = 0.5
     target_accept: float = 0.44
+    # stop after this many TOTAL ladder stages (cumulative across resumed
+    # runs) even if beta < 1 — the checkpointable-pod-run knob: the result
+    # then has converged=False and its ``state`` can be passed back as
+    # ``resume=`` to continue the ladder exactly where it stopped
+    # (bitwise identical to an uninterrupted run). None -> run to beta = 1
+    # (bounded by the MAX_STAGES safety net).
+    max_stages: Optional[int] = None
 
 
 @dataclass
@@ -125,6 +132,15 @@ class SMCResult:
     log_evidence: float
     n_stages: int
     ess: float
+    # inverse-temperature reached (1.0 = the full posterior); < 1 when the
+    # run stopped at config.max_stages
+    beta: float = 1.0
+    converged: bool = True
+    # full inter-stage state (particles, log-weights, log-liks, beta, logZ,
+    # adaptation, loop key, stage counter) — pass the result as ``resume=``
+    # to continue the ladder (the reference's all-state-in-a-value
+    # discipline, hmc.rs:604-642)
+    state: Any = None
 
     def posterior_mean(self, address: str):
         vals = jnp.asarray(self.particles[str(address)], settings.real_dtype())
@@ -194,8 +210,16 @@ def adaptive_smc(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     mesh=None,
+    resume: Optional[SMCResult] = None,
 ) -> SMCResult:
     """Likelihood-tempered adaptive SMC (reference driver: smc.rs:455-580).
+
+    ``resume``: a previous ``SMCResult`` whose ladder stopped short of
+    beta = 1 (``config.max_stages``) — the run continues from its full
+    inter-stage state (particles, weights, beta, logZ, adaptation, loop
+    key) and is BITWISE identical to an uninterrupted run, because the
+    while-loop carry IS the checkpoint. ``log_evidence`` keeps
+    accumulating across resumes.
 
     ``mesh``: optional device mesh; the run then executes inside
     ``shard_map`` with the particle axis sharded over the mesh's chain axis.
@@ -248,7 +272,7 @@ def adaptive_smc(
 
     k_init, k_loop = jax.random.split(jax.random.fold_in(key, 3))
 
-    def drive(k_init, k_loop):
+    def init_state(k_init, k_loop):
         # Stage 0: prior particles, weights = 1/N; the prior cancels in the
         # importance weight so only (tempered) likelihood enters (FG-03).
         if axis_name is not None:
@@ -258,12 +282,30 @@ def adaptive_smc(
         ll0 = jax.vmap(loglik)(latents0)
         log_w0 = jnp.zeros((n_local,), dt)
         adapt0 = AdaptationState.init(len(staged.sites), config.initial_scale)
+        return (
+            latents0,
+            log_w0,
+            ll0,
+            jnp.zeros((), dt),
+            jnp.zeros((), dt),
+            adapt0,
+            k_loop,
+            jnp.zeros((), jnp.int32),
+        )
 
+    def continue_drive(init):
+        # ladder loop from an arbitrary inter-stage state — fresh runs pass
+        # init_state(...), resumed runs pass the previous result's carry, so
+        # split runs are BITWISE identical to uninterrupted ones (the loop
+        # key and stage counter live in the carry)
+        latents0, log_w0, ll0 = init[0], init[1], init[2]
         target_ess = config.ess_threshold * N
+        stage_cap = (MAX_STAGES if config.max_stages is None
+                     else min(MAX_STAGES, config.max_stages))
 
         def cond(carry):
             latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = carry
-            return (beta < 1.0) & (stage_i < MAX_STAGES)
+            return (beta < 1.0) & (stage_i < stage_cap)
 
         def body(carry):
             latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = carry
@@ -395,30 +437,21 @@ def adaptive_smc(
             )
             return (latents, log_w, ll, beta_new, log_z, adapt_st, k, stage_i + 1)
 
-        init = (
-            latents0,
-            log_w0,
-            ll0,
-            jnp.zeros((), dt),
-            jnp.zeros((), dt),
-            adapt0,
-            k_loop,
-            jnp.zeros((), jnp.int32),
-        )
         if config.rejuvenation_steps == 0 and config.ess_threshold <= 0.0:
             # zero-rejuvenation shortcut: single importance reweight by the
             # full likelihood (reference: smc.rs:484-493)
             log_w = ll0
             log_z = log_sum_exp(gathered(log_w)) - jnp.log(jnp.asarray(N, dt))
-            return _finish(latents0, log_w, log_z,
-                           jnp.ones((), jnp.int32))
+            one = jnp.ones((), jnp.int32)
+            carry = (latents0, log_w, ll0, jnp.ones((), dt), log_z,
+                     init[5], init[6], one)
+            return _finish(carry)
 
-        latents, log_w, ll, beta, log_z, adapt_st, k, stage_i = (
-            jax.lax.while_loop(cond, body, init)
-        )
-        return _finish(latents, log_w, log_z, stage_i)
+        carry = jax.lax.while_loop(cond, body, init)
+        return _finish(carry)
 
-    def _finish(latents, log_w, log_z, stage_i):
+    def _finish(carry):
+        latents, log_w, _ll, beta, log_z, _ad, _k, stage_i = carry
         # normalized weights + scalar stats computed INSIDE the compiled
         # drive and the scalars PACKED into one array: each separate host
         # conversion costs a ~26 ms relay round trip, and at 16k particles
@@ -427,33 +460,81 @@ def adaptive_smc(
         lse = log_sum_exp(lwg)
         weights = jnp.exp(log_w - lse)
         packed = jnp.stack([
-            log_z, stage_i.astype(dt), effective_sample_size(lwg),
+            log_z, stage_i.astype(dt), effective_sample_size(lwg), beta,
         ])
-        return latents, log_w, weights, packed
+        return carry, weights, packed
 
-    def build_drive():
-        if mesh is None:
-            return jax.jit(drive)
+    def fresh_drive(k_init, k_loop):
+        return continue_drive(init_state(k_init, k_loop))
+
+    def _specs():
         from jax.sharding import PartitionSpec as _P
-        from ..parallel.sharded import _shard_map
 
         latent_specs = {
             s.address: _P(axis_name, *([None] * len(s.shape)))
             for s in staged.sites
         }
+        # carry = (latents, log_w, ll, beta, log_z, adapt, key, stage_i);
+        # the adaptation pytree / key / scalars are replicated (P() prefix)
+        carry_specs = (latent_specs, _P(axis_name), _P(axis_name),
+                       _P(), _P(), _P(), _P(), _P())
+        return carry_specs
+
+    def build_drive():
+        if mesh is None:
+            return jax.jit(fresh_drive)
+        from jax.sharding import PartitionSpec as _P
+        from ..parallel.sharded import _shard_map
+
+        carry_specs = _specs()
         mapped = _shard_map(
-            drive,
+            fresh_drive,
             mesh,
             in_specs=(_P(), _P()),
-            out_specs=(latent_specs, _P(axis_name), _P(axis_name), _P()),
+            out_specs=(carry_specs, _P(axis_name), _P()),
         )
         return jax.jit(mapped)
 
-    jit_drive = staged.cached_kernel(
-        ("smc_drive", N, config, None if mesh is None else id(mesh)),
-        build_drive,
-    )
-    latents, log_w, weights, packed = jit_drive(k_init, k_loop)
+    def build_resume_drive():
+        if mesh is None:
+            return jax.jit(continue_drive)
+        from jax.sharding import PartitionSpec as _P
+        from ..parallel.sharded import _shard_map
+
+        carry_specs = _specs()
+        mapped = _shard_map(
+            continue_drive,
+            mesh,
+            in_specs=(carry_specs,),
+            out_specs=(carry_specs, _P(axis_name), _P()),
+        )
+        return jax.jit(mapped)
+
+    if resume is not None:
+        if resume.state is None:
+            raise ValueError(
+                "resume= needs an SMCResult carrying its state (results "
+                "from the zero-rejuvenation shortcut or older checkpoints "
+                "without state cannot be resumed)"
+            )
+        n_res = jax.tree_util.tree_leaves(resume.state)[0].shape[0]
+        if n_res != n_local:
+            raise ValueError(
+                f"resume state holds {n_res} (per-shard) particles; this "
+                f"run is configured for {n_local}"
+            )
+        jit_drive = staged.cached_kernel(
+            ("smc_resume", N, config, None if mesh is None else id(mesh)),
+            build_resume_drive,
+        )
+        carry, weights, packed = jit_drive(resume.state)
+    else:
+        jit_drive = staged.cached_kernel(
+            ("smc_drive", N, config, None if mesh is None else id(mesh)),
+            build_drive,
+        )
+        carry, weights, packed = jit_drive(k_init, k_loop)
+    latents, log_w = carry[0], carry[1]
     packed = np.asarray(packed)  # ONE host transfer for all scalar stats
     return SMCResult(
         particles=latents,
@@ -462,6 +543,9 @@ def adaptive_smc(
         log_evidence=float(packed[0]),
         n_stages=int(packed[1]),
         ess=float(packed[2]),
+        beta=float(packed[3]),
+        converged=bool(packed[3] >= 1.0),
+        state=carry,
     )
 
 

