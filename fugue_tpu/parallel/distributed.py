@@ -180,12 +180,28 @@ def make_hybrid_mesh(
     if jax.process_count() > 1 and n_dcn > 0:
         from jax.experimental import mesh_utils
 
-        grid = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=ici_shape or (1,),
-            dcn_mesh_shape=dcn_shape,
-            devices=devices,
-        )
-        grid = grid.reshape(sizes)
+        # DCN granule selection (first exercised for real by the 2-process
+        # integration test, tests/test_distributed_multiprocess.py):
+        # - multi-SLICE topology (ICI does not span slices): granule = slice
+        # - multi-HOST single-slice (v5e-16 style) or CPU processes: there
+        #   is only one slice, so granule = process
+        n_dcn_total = int(np.prod(dcn_shape))
+        slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+        use_slices = len(slice_ids) == n_dcn_total
+        if use_slices or jax.process_count() == n_dcn_total:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=ici_shape or (1,),
+                dcn_mesh_shape=dcn_shape,
+                devices=devices,
+                process_is_granule=not use_slices,
+            )
+            grid = grid.reshape(sizes)
+        else:
+            # irregular layout (dcn axes spanning several processes per
+            # granule): sort by (process, id) so the DCN axis follows
+            # process boundaries, then row-major reshape
+            ordered = sorted(devices, key=lambda d: (d.process_index, d.id))
+            grid = np.asarray(ordered).reshape(sizes)
     else:
         # single process (or no DCN level): row-major reshape keeps the
         # logical layout identical for virtual-device testing

@@ -1,0 +1,86 @@
+"""Worker program for the REAL 2-process ``jax.distributed`` integration
+test (tests/test_distributed_multiprocess.py). Each process runs this same
+script — the pod contract — with FUGUE_* env vars set by the test."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+from jax.experimental.shard_map import shard_map  # noqa: E402
+
+import fugue_tpu as ft  # noqa: E402
+from fugue_tpu.parallel.distributed import (  # noqa: E402
+    flat_axis_index,
+    initialize_distributed,
+    make_pod_chain_mesh,
+)
+from fugue_tpu.parallel.sharded import sharded_hmc_chain  # noqa: E402
+
+
+def main():
+    called = initialize_distributed()
+    assert called, "initialize_distributed must reach jax.distributed.initialize"
+    pid = jax.process_index()
+    n_proc = jax.process_count()
+    assert n_proc == 2, n_proc
+    n_global = len(jax.devices())
+    assert n_global == 2 * len(jax.local_devices())
+
+    # second call is an idempotent no-op (notebook-rerun contract)
+    assert initialize_distributed() is False
+
+    mesh = make_pod_chain_mesh()
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    assert shape == {"hosts": 2, "chains": n_global // 2}, shape
+
+    # 1. bare cross-process psum over the DCN x ICI mesh
+    def f():
+        idx = flat_axis_index(mesh, ("hosts", "chains"))
+        return jax.lax.psum(idx + 1, ("hosts", "chains"))
+
+    total = int(np.asarray(jax.device_get(jax.jit(
+        shard_map(f, mesh=mesh, in_specs=(), out_specs=P())
+    )())))
+    assert total == n_global * (n_global + 1) // 2, total
+    print(f"proc {pid}: psum OK ({total})", flush=True)
+
+    # 2. a REAL sharded engine across processes: HMC with the chain batch
+    # split over hosts x chains; adaptation consensus crosses DCN
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("y", ft.Normal(mu, 1.0), jnp.array([1.2, 0.8, 1.0]))
+        return mu
+
+    res = sharded_hmc_chain(
+        jax.random.PRNGKey(0), model, n_chains=16, mesh=mesh,
+        chain_axes=("hosts", "chains"), n_samples=400, n_warmup=400,
+    )
+    # the result spans both processes; gather it (every host gets the
+    # global array — the documented pod pattern for small summaries)
+    from jax.experimental import multihost_utils
+
+    mus = np.asarray(multihost_utils.process_allgather(
+        res.samples["mu"], tiled=True))
+    assert mus.shape == (16, 400)
+    tau = 0.25 + 3.0
+    post_mean = 3.0 / tau
+    assert abs(mus.mean() - post_mean) < 0.05, mus.mean()
+    assert abs(mus.std() - 1 / np.sqrt(tau)) < 0.05, mus.std()
+    print(f"proc {pid}: sharded_hmc_chain OK mean={mus.mean():.4f}",
+          flush=True)
+    print(f"proc {pid}: ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
