@@ -117,14 +117,38 @@ def abc_rejection(
     if staged is None:
         staged = stage(model_fn, *model_args)
     observed = jnp.asarray(observed)
+    # Per-batch host transfer is capped at ``cap`` rows: acceptance is
+    # decided ON DEVICE and accepted rows are compacted to the front with a
+    # stable argsort, so each batch fetches one scalar count + cap rows
+    # instead of the full (batch_size, ...) latents (on a relayed chip a
+    # full-batch fetch dominated the run; same single-transfer discipline
+    # as SMC's packed stats).
+    cap = min(n_samples, batch_size)
 
-    @jax.jit
-    def batch(k):
+    def batch_fn(k, obs):
         def one(kk):
             data, latents = staged.simulate(kk)
-            return latents, distance(data, observed)
+            return latents, distance(data, obs)
 
-        return jax.vmap(one)(chain_keys(k, batch_size))
+        latents, d = jax.vmap(one)(chain_keys(k, batch_size))
+        ok = d <= epsilon
+        order = jnp.argsort(jnp.where(ok, 0, 1), stable=True)
+        take = order[:cap]
+        top = {a: jnp.take(v, take, axis=0) for a, v in latents.items()}
+        return top, jnp.take(d, take), jnp.sum(ok.astype(jnp.int32))
+
+    # cached per staged model (CLAUDE.md: no fresh jit closure per call);
+    # observed flows in as a traced argument so same-shape datasets share
+    # the executable
+    jit_batch = staged.cached_kernel(
+        ("abc_rejection", batch_size, cap, float(epsilon),
+         getattr(distance, "__qualname__", repr(distance)),
+         observed.shape, str(observed.dtype)),
+        lambda: jax.jit(batch_fn),
+    )
+
+    def batch(k):
+        return jit_batch(k, observed)
 
     collected: List[Any] = []
     dists: List[Any] = []
@@ -134,17 +158,16 @@ def abc_rejection(
     while n_acc < n_samples:
         if attempts >= max_attempts:
             raise _stage_exhausted(0, n_acc, n_samples, attempts)
-        latents, d = batch(jax.random.fold_in(key, i))
+        top, d_top, n_ok = batch(jax.random.fold_in(key, i))
         i += 1
         attempts += batch_size
-        mask = np.asarray(d) <= epsilon
-        idx = np.nonzero(mask)[0]
-        if idx.size:
+        n_take = min(int(n_ok), cap, n_samples - n_acc)
+        if n_take:
             collected.append(
-                {a: np.asarray(v)[idx] for a, v in latents.items()}
+                {a: np.asarray(v)[:n_take] for a, v in top.items()}
             )
-            dists.append(np.asarray(d)[idx])
-            n_acc += idx.size
+            dists.append(np.asarray(d_top)[:n_take])
+            n_acc += n_take
 
     particles = {
         a: jnp.asarray(

@@ -19,6 +19,7 @@ from .mesh import (
 from .sharded import (
     sharded_chees_chain,
     sharded_ess_chain,
+    sharded_abc_rejection,
     sharded_gibbs_chain,
     sharded_hmc_chain,
     sharded_nuts_chain,
@@ -41,6 +42,7 @@ __all__ = [
     "replicated",
     "sharded_chees_chain",
     "sharded_ess_chain",
+    "sharded_abc_rejection",
     "sharded_gibbs_chain",
     "sharded_hmc_chain",
     "sharded_nuts_chain",
