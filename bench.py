@@ -519,6 +519,103 @@ def bench_abc():
     }
 
 
+def bench_vi_scale():
+    """VI at scale (VERDICT r3 item 9): d=512 correlated-coefficient
+    linear model with an EXACT closed-form posterior. Mean-field: marginal
+    means must match (variances legitimately under-estimate on correlated
+    posteriors); full-rank ADVI: means AND marginal sds. Data flows into
+    the compiled optimization as traced arguments (r4 VI data-args)."""
+    import fugue_tpu as ft
+    from fugue_tpu.inference.vi import (
+        VIConfig, optimize_fullrank_vi, optimize_meanfield_vi,
+    )
+
+    DD, DN = 512, 16384
+    ii = np.arange(DD)
+    Sigma = np.exp(-np.abs(ii[:, None] - ii[None, :]) / 16.0)
+    Lj = jnp.asarray(np.linalg.cholesky(Sigma), jnp.float32)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(96), 3)
+
+    @jax.jit
+    def gen():
+        X = jax.random.normal(k1, (DN, DD)) / np.float32(np.sqrt(DD))
+        w_true = Lj @ jax.random.normal(k2, (DD,))
+        yv = X @ w_true + jax.random.normal(k3, (DN,))
+        Lam = (jnp.linalg.inv(Sigma.astype(np.float32)) + X.T @ X)
+        Pcov = jnp.linalg.inv(Lam)
+        pmean = Pcov @ (X.T @ yv)
+        return X, yv, pmean, jnp.sqrt(jnp.diag(Pcov))
+
+    Xj, yj, pmean, psd = gen()
+    pmean_np, psd_np = np.asarray(pmean), np.asarray(psd)
+
+    def model(Xd, yd):
+        w = ft.sample(
+            "w", ft.MultivariateNormal(jnp.zeros(DD), scale_tril=Lj))
+        ft.observe("y", ft.Normal(Xd @ w, 1.0), yd)
+
+    staged = ft.stage(model, Xj, yj)
+
+    n_iter = 3000
+    cfg = VIConfig(n_iterations=n_iter, n_samples=8,
+                   plateau_window=10**9, check_every=n_iter,
+                   learning_rate=0.02)
+
+    def run_mf(i):
+        return optimize_meanfield_vi(
+            jax.random.fold_in(jax.random.PRNGKey(40), i),
+            staged=staged, config=cfg)
+
+    run_mf(0)  # compile
+    t0 = time.perf_counter()
+    r = run_mf(1)
+    mf_wall = time.perf_counter() - t0
+    mf_loc = np.asarray(r.params["w"]["loc"])
+    mf_err = float(np.max(np.abs(mf_loc - pmean_np) / psd_np))
+
+    fr_iter, fr_lr = 12000, 0.01
+    fr_cfg = VIConfig(n_iterations=fr_iter, n_samples=8,
+                      plateau_window=10**9, check_every=fr_iter,
+                      learning_rate=fr_lr)
+
+    def run_fr(i):
+        return optimize_fullrank_vi(
+            jax.random.fold_in(jax.random.PRNGKey(41), i),
+            staged=staged, config=fr_cfg)
+
+    run_fr(0)  # compile
+    t0 = time.perf_counter()
+    rf = run_fr(1)
+    fr_wall = time.perf_counter() - t0
+    fr_loc = np.asarray(rf.params["loc"])
+    fr_err = float(np.max(np.abs(fr_loc - pmean_np) / psd_np))
+    cov = np.asarray(rf.guide.covariance(rf.params))
+    ratio = np.sqrt(np.diag(cov)) / psd_np
+
+    # reference cost model: one ELBO eval = n_mc model runs, each costed at
+    # the workload flops on a scalar core; the reference needs 4*|params|*
+    # n_mc runs PER ITERATION for its CRN finite differences (vi.rs:687)
+    flops_eval = 2 * DN * DD + DD * DD
+    ref_iters_per_sec = SCALAR_CORE_FLOPS / (
+        4 * (2 * DD) * 8 * flops_eval)
+    mf_rate = n_iter / mf_wall
+    return {
+        "submetric": "vi_scale_d512_meanfield_iterations_per_sec",
+        "value": round(mf_rate, 1),
+        "unit": "iterations/s",
+        "vs_baseline": round(mf_rate / ref_iters_per_sec, 1),
+        "wall_s": round(mf_wall, 3),
+        "max_mean_err_in_sd": round(mf_err, 3),
+        "final_elbo": round(float(r.elbo_history[-1]), 2),
+        "fullrank_iterations_per_sec": round(fr_iter / fr_wall, 1),
+        "fullrank_wall_s": round(fr_wall, 3),
+        "fullrank_max_mean_err_in_sd": round(fr_err, 3),
+        "fullrank_sd_ratio_minmax": [round(float(ratio.min()), 3),
+                                     round(float(ratio.max()), 3)],
+        "fullrank_final_elbo": round(float(rf.elbo_history[-1]), 2),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Scale tier (VERDICT r2 item 1): large-d / large-N workloads with honest
 # per-workload rooflines. vs_baseline derives from the reference's
@@ -528,22 +625,20 @@ def bench_abc():
 # ---------------------------------------------------------------------------
 
 SCALAR_CORE_FLOPS = 2e9
+V5E_HBM_BYTES_PER_S = 819e9  # one v5e chip (public spec)
 
 
-def bench_scale_logistic():
-    """Bayesian logistic regression d=1024, N=1e5, 256 chains: the
-    likelihood is one (C,d)@(d,N) matmul -> MXU workload. Roofline is the
-    empirical same-shape fwd/bwd matmul pair measured on THIS chip."""
+def _logistic_setup():
+    """Shared d=1024 / N=1e5 logistic target for the scale rows: dataset
+    generated ON DEVICE (uploading a 400 MB design matrix over the relayed
+    link takes minutes), data flowing into the drives as traced arguments,
+    and a MAP warm start (the at-scale workflow: a far-tail init wastes the
+    whole warmup budget re-finding the typical set)."""
     import fugue_tpu as ft
-    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
-    from fugue_tpu.inference.mcmc_utils import split_r_hat
+    from fugue_tpu.inference.map_laplace import MAPConfig, map_estimate
     from fugue_tpu.ops import matmul_bf16x2
 
-    D, N, C, L = 1024, 100_000, 256, 16
-    NW, NS = 200, 128
-    # dataset generated ON DEVICE (uploading a 400 MB design matrix over
-    # the relayed link takes minutes); stats likewise computed on device —
-    # a (C,NS,D) sample fetch would dominate the wall clock
+    D, N, C = 1024, 100_000, 256
     kx, kw, ky = jax.random.split(jax.random.PRNGKey(99), 3)
 
     @jax.jit
@@ -559,32 +654,60 @@ def bench_scale_logistic():
     X, w_true, y = gen()
 
     def model(Xd, yd):
-        # data passed as stage() ARGUMENTS: large leaves become traced jit
-        # inputs of the drive (never compile-payload constants)
         w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
         ft.observe("y", ft.BernoulliLogits(matmul_bf16x2(Xd, w)), yd)
 
     staged = ft.stage(model, X, y)
-    # MAP-then-HMC with a FIXED kernel chosen from the measured acceptance
-    # curve (accept 0.87 at eps=0.01, L=16 ≈ 0.7 posterior sd/trajectory):
-    # a far-tail init collapses dual averaging on this N=1e5 target, and
-    # midpoint mass re-estimation from 100 barely-mixed draws does too
-    # (probe_accept session r3) — the at-scale workflow is warm start +
-    # pre-tuned kernel, both first-class APIs
-    from fugue_tpu.inference.map_laplace import MAPConfig, map_estimate
-
     m = map_estimate(
         jax.random.PRNGKey(20), staged=staged,
         config=MAPConfig(n_iterations=120, optimizer="lbfgs", n_restarts=1),
     )
-    cfg = HMCConfig(step_size=0.01, n_leapfrog=L,
-                    adapt_step_size=False, adapt_mass=False)
+    return staged, w_true, m, D, N, C
 
-    stats = jax.jit(lambda ws, divs: (
-        jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::128])),
-        jnp.mean(jnp.abs(jnp.mean(ws, axis=(0, 1)) - w_true)),
+
+def _logistic_stats(w_true):
+    """On-device stats for the logistic rows: max split-R-hat over sampled
+    coordinates, coefficient error normalized by the POSTERIOR SD of each
+    coordinate (the calibrated gate: the posterior mean sits within ~1 sd
+    of the truth by construction), and the divergence rate."""
+    from fugue_tpu.inference.mcmc_utils import split_r_hat
+
+    return jax.jit(lambda ws, divs: (
+        jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::16])),
+        jnp.mean(jnp.abs(jnp.mean(ws, axis=(0, 1)) - w_true)
+                 / jnp.std(ws.reshape(-1, ws.shape[-1]) + 0.0, axis=0)),
         jnp.mean(divs.astype(jnp.float32)),
     ))
+
+
+def _logistic_roofline(C, N, D):
+    """ANALYTIC per-grad-eval roofline (VERDICT r3 weak #7: the old
+    empirical probe chain was slower than the fused drive, reporting >100%
+    'of roofline'). The potential gradient is 4 bf16 (C,D)x(D,N)-class
+    matmuls (split-precision: 2 fwd + 2 bwd), so per batched grad step:
+    MXU time = 8*C*N*D / peak-bf16; HBM time = 4 reads of the bf16 X
+    (w/logits traffic amortizes over the C=256 batch). The ceiling is their
+    max; by construction achieved/roofline <= 1."""
+    hw_flops = 8 * C * N * D
+    hbm_bytes = 4 * N * D * 2
+    roof_s = max(hw_flops / V5E_PEAK_BF16_FLOPS,
+                 hbm_bytes / V5E_HBM_BYTES_PER_S)
+    return C / roof_s  # grad-evals/s ceiling
+
+
+def bench_scale_logistic():
+    """Bayesian logistic regression d=1024, N=1e5, 256 chains: the
+    likelihood is one (C,d)@(d,N) matmul -> MXU workload. Adaptation ON
+    (r4: dual averaging + diagonal mass; measured eps ~0.27 vs the r3
+    fixed 0.01 — same throughput, R-hat 1.08 -> <1.01,
+    scripts/probe_scale_adapt.py). Roofline is ANALYTIC (MXU flops + HBM
+    bytes of the actual matmul set; <=100% by construction)."""
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+
+    staged, w_true, m, D, N, C = _logistic_setup()
+    L, NW, NS = 16, 300, 128
+    cfg = HMCConfig(n_leapfrog=L, target_accept=0.8)
+    stats = _logistic_stats(w_true)
 
     def run(i):
         r = hmc_chain(jax.random.fold_in(jax.random.PRNGKey(21), i),
@@ -596,36 +719,14 @@ def bench_scale_logistic():
 
     run(0)  # compile
     t0 = time.perf_counter()
-    rhat, err, div, eps = run(1)
+    rhat, err_sd, div, eps = run(1)
     elapsed = time.perf_counter() - t0
     n_grad = (NW + NS) * (L + 1)
     # useful (f32-equivalent) FLOPs: fwd (C,D)@(D,N) + bwd, 2*C*N*D each;
     # the split-precision kernel executes 2x that in hardware bf16 flops
     useful = 4 * C * N * D * n_grad / elapsed
     hardware = 2 * useful
-
-    # empirical same-shape roofline: K dependent split-precision grad pairs
-    # (the same 4-matmul pattern the potential gradient runs). X enters as
-    # a jit ARGUMENT — a 200 MB closure constant travels inside the compile
-    # payload and the relay rejects it (HTTP 413)
-    K = 16
-
-    @jax.jit
-    def mm_chain(Xa, W0):
-        from fugue_tpu.ops import matmul_bf16x2
-
-        def body(w, _):
-            def pot(w):
-                return jnp.sum(jax.nn.softplus(
-                    jax.vmap(lambda ww: matmul_bf16x2(Xa, ww))(w)))
-            g = jax.grad(pot)(w)
-            return w - 1e-6 * g, ()
-        w, _ = jax.lax.scan(body, W0, None, length=K)
-        return jnp.sum(w)
-
-    Wb0 = jax.random.normal(jax.random.PRNGKey(5), (C, D), jnp.float32)
-    dt_chain, _ = _timed(lambda i: mm_chain(X, Wb0 + i * 0.01), 0, reps=1)
-    roof_useful = 4 * C * N * D / (dt_chain / K)
+    roof = _logistic_roofline(C, N, D)
 
     ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
     rate = C * n_grad / elapsed
@@ -639,25 +740,80 @@ def bench_scale_logistic():
         "hardware_bf16_flops_per_sec": round(hardware, 1),
         "pct_v5e_bf16_peak_hardware": round(
             100 * hardware / V5E_PEAK_BF16_FLOPS, 2),
-        "empirical_roofline_useful_flops_per_sec": round(roof_useful, 1),
-        "pct_of_empirical_roofline": round(100 * useful / roof_useful, 1),
+        "analytic_roofline_grad_evals_per_sec": round(roof, 1),
+        "pct_of_analytic_roofline": round(100 * rate / roof, 1),
         "max_rhat_sampled": round(rhat, 4),
         "divergence_rate": round(div, 5),
-        "mean_abs_coef_err": round(err, 4),
+        "mean_coef_err_in_posterior_sd": round(err_sd, 4),
         "step_size": eps,
+        "adaptive": True,
+    }
+
+
+def bench_scale_nuts():
+    """NUTS on the SAME d=1024 logistic target (VERDICT r3 weak #2: no
+    adaptive engine had a large-d number) — the engine a practitioner
+    would actually reach for, full warmup adaptation, tree depth adapting
+    per transition (measured depth ~4, R-hat <1.01,
+    scripts/probe_scale_adapt2.py)."""
+    from fugue_tpu.inference.nuts import NUTSConfig, nuts_chain
+
+    staged, w_true, m, D, N, C = _logistic_setup()
+    NW, NS = 300, 128
+    cfg = NUTSConfig(max_depth=6)
+    stats = _logistic_stats(w_true)
+
+    def run(i):
+        r = nuts_chain(jax.random.fold_in(jax.random.PRNGKey(41), i),
+                       n_samples=NS, n_warmup=NW, n_chains=C,
+                       config=cfg, staged=staged,
+                       init_position=m.z, init_jitter=0.05)
+        vals = [float(x) for x in stats(
+            jnp.asarray(r.samples["w"]), jnp.asarray(r.divergences))]
+        return vals + [r.step_size,
+                       float(np.asarray(r.tree_depths).mean())]
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    rhat, err_sd, div, eps, depth = run(1)
+    elapsed = time.perf_counter() - t0
+    # leapfrogs/transition ~= 2^depth (sampling-phase depths; warmup
+    # assumed similar — documented approximation)
+    n_leap = (NW + NS) * (2.0 ** depth)
+    rate = C * n_leap / elapsed
+    roof = _logistic_roofline(C, N, D)
+    ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
+    return {
+        "submetric": "scale_nuts_logistic_d1024_grad_evals_per_sec",
+        "value": round(rate, 1),
+        "unit": "grad-evals/s (approx 2^depth/transition)",
+        "vs_baseline": round(rate * ref_grad_sec, 1),
+        "wall_s": round(elapsed, 3),
+        "transitions_per_sec": round(C * (NW + NS) / elapsed, 1),
+        "mean_tree_depth": round(depth, 2),
+        "pct_of_analytic_roofline": round(100 * rate / roof, 1),
+        "max_rhat_sampled": round(rhat, 4),
+        "divergence_rate": round(div, 5),
+        "mean_coef_err_in_posterior_sd": round(err_sd, 4),
+        "step_size": eps,
+        "adaptive": True,
     }
 
 
 def bench_scale_densemass():
     """Correlated-coefficient linear model, d=256, N=8192, DENSE mass HMC,
     128 chains — the batched-Cholesky machinery row, gated on the exact
-    closed-form posterior."""
+    closed-form posterior. r4 schedule (L=32, target 0.85, 600+1024;
+    scripts/probe_scale_adapt4.py): R-hat 1.005 < the 1.01 'excellent'
+    gate the r3 row missed at 1.02, AND 1.5x the grad-eval rate (longer
+    trajectories cost more grads/transition but amortize the fixed
+    per-transition overhead better)."""
     import fugue_tpu as ft
     from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
     from fugue_tpu.inference.mcmc_utils import split_r_hat
 
-    DD, DN, DC, L = 256, 8192, 128, 24
-    NW, NS = 300, 128
+    DD, DN, DC, L = 256, 8192, 128, 32
+    NW, NS = 600, 1024
     ii = np.arange(DD)
     Sigma = np.exp(-np.abs(ii[:, None] - ii[None, :]) / 32.0)
     Ls = np.linalg.cholesky(Sigma)
@@ -685,13 +841,13 @@ def bench_scale_densemass():
         ft.observe("y", ft.Normal(Xd @ w, 1.0), yd)
 
     staged = ft.stage(model, Xj, yj)
-    cfg = HMCConfig(n_leapfrog=L, mass="dense", target_accept=0.9)
+    cfg = HMCConfig(n_leapfrog=L, mass="dense", target_accept=0.85)
 
     stats = jax.jit(lambda ws, divs: (
         jnp.max(jnp.abs(jnp.mean(ws, axis=(0, 1)) - pmean) / psd),
         jnp.min(jnp.std(ws.reshape(-1, DD), axis=0) / psd),
         jnp.max(jnp.std(ws.reshape(-1, DD), axis=0) / psd),
-        jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::32])),
+        jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::8])),
         jnp.mean(divs.astype(jnp.float32)),
     ))
 
@@ -822,10 +978,12 @@ def main():
         ("vi", bench_vi),
         ("abc", bench_abc),
         ("scale_logistic", bench_scale_logistic),
+        ("scale_nuts", bench_scale_nuts),
         ("scale_densemass", bench_scale_densemass),
         ("scale_plate", bench_scale_plate),
+        ("vi_scale", bench_vi_scale),
     ]:
-        if (name.startswith("scale_")
+        if (name.startswith(("scale_", "vi_scale"))
                 and time.perf_counter() - t_start > deadline):
             # fall back to the separately-measured exclusive-session
             # artifact (scripts/run_scale_tier.py) — the d=1024/N=1e5

@@ -46,8 +46,19 @@ class Address(str):
 
     __slots__ = ()
 
+    # instance cache: ``sys.intern`` alone does NOT make two Address
+    # constructions identical (str.__new__ copies into a fresh instance),
+    # so the O(1) identity-compare the docstring promises needs a real
+    # cache. Bounded by the number of distinct site addresses.
+    _instances: dict = {}
+
     def __new__(cls, value: str) -> "Address":
-        return super().__new__(cls, sys.intern(value))
+        v = sys.intern(str(value))
+        cached = cls._instances.get(v)
+        if cached is None:
+            cached = super().__new__(cls, v)
+            cls._instances[v] = cached
+        return cached
 
     @property
     def base(self) -> str:

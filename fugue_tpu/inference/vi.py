@@ -561,7 +561,7 @@ class FullRankGuide:
         }
 
 
-def _make_vi_program(guide, tx, loss_fn, config: "VIConfig"):
+def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None):
     """Compile the WHOLE optimization — Adam steps, ELBO history, and the
     plateau early-stop — into one XLA program (``lax.while_loop`` over
     ``check_every``-sized scan chunks).
@@ -609,8 +609,7 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig"):
     else:
         params0 = jax.tree.map(np.asarray, guide.init_params())
 
-    @jax.jit
-    def run(key):
+    def run_impl(key, dl):
         params = jax.tree.map(jnp.asarray, params0)
         opt_state = tx.init(params)
         hist0 = jnp.zeros((hist_len,), dt)
@@ -664,14 +663,27 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig"):
         ])
         return params, packed
 
+    if staged is not None:
+        # large stage() data arguments flow in as TRACED jit arguments
+        # (StagedModel.data_leaves) instead of baked closure constants —
+        # same discipline as the HMC/NUTS/ChEES/MAP drives: a big design
+        # matrix as a constant travels inside the (possibly remote)
+        # compile payload and re-uploads on every recompile
+        @jax.jit
+        def run(key, *dl):
+            with staged.bind_data(dl):
+                return run_impl(key, dl)
+    else:
+        run = jax.jit(lambda key: run_impl(key, ()))
     return run
 
 
-def _drive_vi(run, guide, tx, key) -> "VIResult":
+def _drive_vi(run, guide, tx, key, staged=None) -> "VIResult":
     """Shared host-side tail: one dispatch + ONE result transfer, then
     truncate the history to the iterations that actually ran before the
     in-program early exit."""
-    params, packed = run(key)
+    data = staged.data_leaves() if staged is not None else []
+    params, packed = run(key, *data)
     packed = np.asarray(packed)
     n_done = int(packed[-2])
     return VIResult(
@@ -715,12 +727,13 @@ def optimize_fullrank_vi(
             ) + guide.entropy(p)
             return -e
 
-        return guide, tx, _make_vi_program(guide, tx, neg_elbo, config)
+        return guide, tx, _make_vi_program(
+            guide, tx, neg_elbo, config, staged=staged)
 
     # one compiled executable per (engine, config) — never a fresh jit
     # closure per call (CLAUDE.md invariant; staged analog of FG-11/12)
     guide, tx, run = staged.cached_kernel(("vi_fullrank", config), build)
-    return _drive_vi(run, guide, tx, key)
+    return _drive_vi(run, guide, tx, key, staged=staged)
 
 
 def optimize_meanfield_vi(
@@ -781,9 +794,10 @@ def optimize_meanfield_vi(
                 k, guide, p, config.n_samples
             )
 
-        return guide, tx, _make_vi_program(guide, tx, loss_fn, config)
+        return guide, tx, _make_vi_program(
+            guide, tx, loss_fn, config, staged=staged)
 
     # one compiled executable per (engine, config) — never a fresh jit
     # closure per call (CLAUDE.md invariant; staged analog of FG-11/12)
     guide, tx, run = staged.cached_kernel(("vi_meanfield", config), build)
-    return _drive_vi(run, guide, tx, key)
+    return _drive_vi(run, guide, tx, key, staged=staged)

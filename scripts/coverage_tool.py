@@ -25,6 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "fugue_tpu")
 HITS_DIR = os.path.join(REPO, ".coverage_fugue")
 BAR = 80.0
+# per-file floor (VERDICT r3 weak #4: the total-only bar hid a 58%-covered
+# file); every tracked source file must individually clear this
+FILE_FLOOR = 75.0
+# files whose lines are only executable on hardware this box lacks
+FLOOR_EXEMPT: tuple = ()
 OMIT = {
     # measured-and-defaulted-off TPU kernels (benchmarks/PALLAS_PROBE.json);
     # exercised only under FUGUE_TPU_PALLAS=1 on a real chip
@@ -114,10 +119,20 @@ def report() -> int:
     }
     with open(os.path.join(REPO, "benchmarks", "COVERAGE.json"), "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
-    if total_pct < BAR:
+    failed = total_pct < BAR
+    if failed:
         print(f"FAIL: coverage {total_pct:.1f}% < bar {BAR:.0f}%")
+    low = [r for r in rows
+           if r[3] < FILE_FLOOR and r[0] not in FLOOR_EXEMPT]
+    if low:
+        failed = True
+        for name, n_ex, n_hit, pct in low:
+            print(f"FAIL: {name} {pct:.1f}% < per-file floor "
+                  f"{FILE_FLOOR:.0f}%")
+    if failed:
         return 1
-    print(f"OK: coverage {total_pct:.1f}% >= bar {BAR:.0f}%")
+    print(f"OK: coverage {total_pct:.1f}% >= bar {BAR:.0f}% and every "
+          f"file >= {FILE_FLOOR:.0f}%")
     return 0
 
 

@@ -25,8 +25,10 @@ def main():
     out = {}
     for name, fn in [
         ("scale_logistic", bench.bench_scale_logistic),
+        ("scale_nuts", bench.bench_scale_nuts),
         ("scale_densemass", bench.bench_scale_densemass),
         ("scale_plate", bench.bench_scale_plate),
+        ("vi_scale", bench.bench_vi_scale),
     ]:
         t0 = time.perf_counter()
         try:

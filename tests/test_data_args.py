@@ -127,3 +127,33 @@ def test_bind_data_rejects_misaligned_leaf_count():
     with pytest.raises(StagingError, match="replacement leaves"):
         with staged.bind_data(good + [jnp.zeros(4)], min_bytes=0):
             pass
+
+
+def test_vi_threads_data_args():
+    """VI drives (mean-field + full-rank) pass large stage() data in as
+    traced jit arguments (r4: at-scale VI needs the same compile-payload
+    discipline as the gradient drives) — bit-identical to closure capture."""
+    from fugue_tpu.inference.vi import (
+        VIConfig, optimize_fullrank_vi, optimize_meanfield_vi,
+    )
+
+    X, y, w_true = _make()
+    staged_args = ft.stage(_linreg_model, X, y)
+    assert staged_args.data_leaves()
+
+    def closure_model():
+        _linreg_model(X, y)
+
+    staged_clo = ft.stage(closure_model)
+    cfg = VIConfig(n_iterations=200, n_samples=8)
+    r1 = optimize_meanfield_vi(jax.random.PRNGKey(5), staged=staged_args,
+                               config=cfg)
+    r2 = optimize_meanfield_vi(jax.random.PRNGKey(5), staged=staged_clo,
+                               config=cfg)
+    np.testing.assert_allclose(r1.elbo_history, r2.elbo_history, rtol=1e-6)
+    w1 = np.asarray(r1.params["w"]["loc"])
+    np.testing.assert_allclose(w1, w_true, atol=0.05)
+
+    rf = optimize_fullrank_vi(jax.random.PRNGKey(6), staged=staged_args,
+                              config=cfg)
+    assert np.isfinite(rf.elbo_history).all()
