@@ -573,19 +573,28 @@ def bench_vi_scale():
     mf_loc = np.asarray(r.params["w"]["loc"])
     mf_err = float(np.max(np.abs(mf_loc - pmean_np) / psd_np))
 
-    fr_iter, fr_lr = 12000, 0.01
-    fr_cfg = VIConfig(n_iterations=fr_iter, n_samples=8,
-                      plateau_window=10**9, check_every=fr_iter,
+    # full-rank runs as 4 resumed 3000-iteration segments: a single
+    # 12000-iteration dispatch executes ~70 s on-device, which crashed the
+    # relayed TPU worker (probe_scale_adapt4 session r4) — the VI resume
+    # path keeps each dispatch short while sharing both executables
+    seg_iter, fr_lr, n_seg = 3000, 0.01, 4
+    fr_iter = seg_iter * n_seg
+    fr_cfg = VIConfig(n_iterations=seg_iter, n_samples=8,
+                      plateau_window=10**9, check_every=seg_iter,
                       learning_rate=fr_lr)
 
-    def run_fr(i):
+    def run_fr(i, prev):
         return optimize_fullrank_vi(
             jax.random.fold_in(jax.random.PRNGKey(41), i),
-            staged=staged, config=fr_cfg)
+            staged=staged, config=fr_cfg, resume=prev)
 
-    run_fr(0)  # compile
+    run_fr(0, None)  # compile fresh program
+    rf0 = run_fr(1, None)
+    run_fr(2, rf0)  # compile resume program
     t0 = time.perf_counter()
-    rf = run_fr(1)
+    rf = run_fr(3, None)
+    for si in range(1, n_seg):
+        rf = run_fr(4 + si, rf)
     fr_wall = time.perf_counter() - t0
     fr_loc = np.asarray(rf.params["loc"])
     fr_err = float(np.max(np.abs(fr_loc - pmean_np) / psd_np))

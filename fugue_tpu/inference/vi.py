@@ -561,7 +561,8 @@ class FullRankGuide:
         }
 
 
-def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None):
+def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None,
+                     resume_mode: bool = False):
     """Compile the WHOLE optimization — Adam steps, ELBO history, and the
     plateau early-stop — into one XLA program (``lax.while_loop`` over
     ``check_every``-sized scan chunks).
@@ -609,8 +610,14 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None):
     else:
         params0 = jax.tree.map(np.asarray, guide.init_params())
 
-    def run_impl(key, dl):
-        params = jax.tree.map(jnp.asarray, params0)
+    def run_impl(key, dl, params_in=None):
+        # resume path: the variational parameters flow in as TRACED
+        # arguments (one executable serves every resumed state; the Adam
+        # moments restart — documented, the schedule is fresh per segment)
+        if params_in is not None:
+            params = jax.tree.map(jnp.asarray, params_in)
+        else:
+            params = jax.tree.map(jnp.asarray, params0)
         opt_state = tx.init(params)
         hist0 = jnp.zeros((hist_len,), dt)
 
@@ -669,21 +676,32 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None):
         # same discipline as the HMC/NUTS/ChEES/MAP drives: a big design
         # matrix as a constant travels inside the (possibly remote)
         # compile payload and re-uploads on every recompile
-        @jax.jit
-        def run(key, *dl):
-            with staged.bind_data(dl):
-                return run_impl(key, dl)
+        if resume_mode:
+            @jax.jit
+            def run(key, params_in, *dl):
+                with staged.bind_data(dl):
+                    return run_impl(key, dl, params_in)
+        else:
+            @jax.jit
+            def run(key, *dl):
+                with staged.bind_data(dl):
+                    return run_impl(key, dl)
+    elif resume_mode:
+        run = jax.jit(lambda key, params_in: run_impl(key, (), params_in))
     else:
         run = jax.jit(lambda key: run_impl(key, ()))
     return run
 
 
-def _drive_vi(run, guide, tx, key, staged=None) -> "VIResult":
+def _drive_vi(run, guide, tx, key, staged=None, resume=None) -> "VIResult":
     """Shared host-side tail: one dispatch + ONE result transfer, then
     truncate the history to the iterations that actually ran before the
     in-program early exit."""
     data = staged.data_leaves() if staged is not None else []
-    params, packed = run(key, *data)
+    if resume is not None:
+        params, packed = run(key, resume.params, *data)
+    else:
+        params, packed = run(key, *data)
     packed = np.asarray(packed)
     n_done = int(packed[-2])
     return VIResult(
@@ -702,14 +720,22 @@ def optimize_fullrank_vi(
     *,
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
+    resume: Optional["VIResult"] = None,
 ) -> VIResult:
     """Full-rank ADVI: pathwise gradients of
     E_q[log p(x(z)) + log|J|] + H(q) with annealed Adam + plateau stopping
-    (same driver discipline as the mean-field path)."""
+    (same driver discipline as the mean-field path).
+
+    ``resume``: a previous ``VIResult`` — optimization continues from its
+    variational parameters (flowing in as runtime arguments, so repeated
+    resumes share one executable; the Adam moments and learning-rate
+    schedule restart per segment). Long runs on a dispatch-limited device
+    split into several segments this way."""
     import optax
 
     if staged is None:
         staged = stage(model_fn, *model_args)
+    mode = "fresh" if resume is None else "resume"
 
     def build():
         guide = FullRankGuide(staged)
@@ -728,12 +754,14 @@ def optimize_fullrank_vi(
             return -e
 
         return guide, tx, _make_vi_program(
-            guide, tx, neg_elbo, config, staged=staged)
+            guide, tx, neg_elbo, config, staged=staged,
+            resume_mode=(mode == "resume"))
 
     # one compiled executable per (engine, config) — never a fresh jit
     # closure per call (CLAUDE.md invariant; staged analog of FG-11/12)
-    guide, tx, run = staged.cached_kernel(("vi_fullrank", config), build)
-    return _drive_vi(run, guide, tx, key, staged=staged)
+    guide, tx, run = staged.cached_kernel(("vi_fullrank", config, mode),
+                                          build)
+    return _drive_vi(run, guide, tx, key, staged=staged, resume=resume)
 
 
 def optimize_meanfield_vi(
@@ -743,6 +771,7 @@ def optimize_meanfield_vi(
     *,
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
+    resume: Optional["VIResult"] = None,
 ) -> VIResult:
     """Mean-field VI driver (reference: optimize_meanfield_vi_with_config,
     vi.rs:784-864) with pathwise gradients, Adam or Robbins-Monro SGA,
@@ -751,11 +780,16 @@ def optimize_meanfield_vi(
     The whole optimization — including the plateau early-stop — is ONE
     compiled program (``lax.while_loop`` over ``check_every``-sized chunks),
     so a full run costs a single device dispatch.
+
+    ``resume``: a previous ``VIResult`` — continue from its variational
+    parameters (runtime arguments; Adam moments/schedule restart per
+    segment). See ``optimize_fullrank_vi``.
     """
     import optax
 
     if staged is None:
         staged = stage(model_fn, *model_args)
+    mode = "fresh" if resume is None else "resume"
 
     def build():
         guide = _meanfield_guide_for(staged)
@@ -795,9 +829,11 @@ def optimize_meanfield_vi(
             )
 
         return guide, tx, _make_vi_program(
-            guide, tx, loss_fn, config, staged=staged)
+            guide, tx, loss_fn, config, staged=staged,
+            resume_mode=(mode == "resume"))
 
     # one compiled executable per (engine, config) — never a fresh jit
     # closure per call (CLAUDE.md invariant; staged analog of FG-11/12)
-    guide, tx, run = staged.cached_kernel(("vi_meanfield", config), build)
-    return _drive_vi(run, guide, tx, key, staged=staged)
+    guide, tx, run = staged.cached_kernel(("vi_meanfield", config, mode),
+                                          build)
+    return _drive_vi(run, guide, tx, key, staged=staged, resume=resume)

@@ -207,3 +207,44 @@ def test_fullrank_transforms_positive_site():
     draws = res.posterior_sample(jax.random.PRNGKey(3), 4000)["lam"]
     assert float(jnp.min(draws)) > 0
     assert float(jnp.mean(draws)) == pytest.approx(9 / 4, rel=0.1)
+
+
+def test_vi_resume_continues_from_params():
+    """VI resume (r4): optimization continues from a previous result's
+    variational parameters (runtime arguments; one executable per mode) —
+    the segmented-long-run workflow for dispatch-limited devices."""
+    from fugue_tpu.inference.vi import (
+        VIConfig, optimize_fullrank_vi, optimize_meanfield_vi,
+    )
+
+    ys = jnp.array([1.2, 0.8, 1.5, 0.9, 1.1])
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        ft.observe("ys", ft.Normal(mu, 1.0), ys)
+
+    staged = ft.stage(model)
+    cfg = VIConfig(n_iterations=300, n_samples=16,
+                   plateau_window=10**9, check_every=300)
+    r1 = optimize_meanfield_vi(jax.random.PRNGKey(0), staged=staged,
+                               config=cfg)
+    r2 = optimize_meanfield_vi(jax.random.PRNGKey(1), staged=staged,
+                               config=cfg, resume=r1)
+    # the resumed segment starts near r1's solution, so its ELBO never
+    # dips back to the cold-start level
+    assert r2.elbo_history[0] > r1.elbo_history[0] + 1.0
+    tau = 0.25 + 5.0
+    loc = float(np.asarray(r2.params["mu"]["loc"]))
+    assert loc == pytest.approx(float(ys.sum()) / tau, abs=0.05)
+    # repeated resumes share one executable
+    n = len(staged._kernel_cache)
+    optimize_meanfield_vi(jax.random.PRNGKey(2), staged=staged,
+                          config=cfg, resume=r2)
+    assert len(staged._kernel_cache) == n
+
+    f1 = optimize_fullrank_vi(jax.random.PRNGKey(3), staged=staged,
+                              config=cfg)
+    f2 = optimize_fullrank_vi(jax.random.PRNGKey(4), staged=staged,
+                              config=cfg, resume=f1)
+    assert np.isfinite(f2.elbo_history).all()
+    assert f2.elbo_history[-1] >= f1.elbo_history[-1] - 1.0
