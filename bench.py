@@ -684,7 +684,7 @@ def _logistic_stats(w_true):
     return jax.jit(lambda ws, divs: (
         jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::16])),
         jnp.mean(jnp.abs(jnp.mean(ws, axis=(0, 1)) - w_true)
-                 / jnp.std(ws.reshape(-1, ws.shape[-1]) + 0.0, axis=0)),
+                 / jnp.std(ws.reshape(-1, ws.shape[-1]), axis=0)),
         jnp.mean(divs.astype(jnp.float32)),
     ))
 

@@ -75,6 +75,15 @@ class ChEESConfig:
     step_size: Optional[float] = None  # None → reasonable-epsilon search
     target_accept: float = 0.651  # optimal for jittered fixed-L HMC (paper §4)
     adapt_rate: float = 0.025  # Adam learning rate on log T
+    # MEASURED LIMITATION (r4, scripts + /tmp/chees_landscape session): on
+    # strongly-informed targets (N >> d GLMs) the ChEES criterion
+    # E[(||q'-m||^2-||q-m||^2)^2] is nearly FLAT in T at stationarity
+    # (brute-forced: criterion 0.02 -> 0.05 over T in [0.5, 4] on a d=256
+    # N=2e4 regression), so the learned T drifts to the short-T shoulder
+    # (L ~ 1-2 leapfrogs) and mixing per transition degrades; the same
+    # adaptation recovers textbook T ~ 2 on isotropic/no-data targets of
+    # any scale and dimension. For large-d data-informed posteriors prefer
+    # NUTS (bench: scale_nuts row, R-hat < 1.01 at d=1024).
     # Cap on the learned trajectory length AFTER mass adaptation, in units
     # of the preconditioned oscillation period 2pi. The ChEES criterion has
     # spurious maxima at period MULTIPLES (measured: one seed rode T to ~5
