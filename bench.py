@@ -573,28 +573,31 @@ def bench_vi_scale():
     mf_loc = np.asarray(r.params["w"]["loc"])
     mf_err = float(np.max(np.abs(mf_loc - pmean_np) / psd_np))
 
-    # full-rank runs as 4 resumed 3000-iteration segments: a single
-    # 12000-iteration dispatch executes ~70 s on-device, which crashed the
-    # relayed TPU worker (probe_scale_adapt4 session r4) — the VI resume
-    # path keeps each dispatch short while sharing both executables
-    seg_iter, fr_lr, n_seg = 3000, 0.01, 4
-    fr_iter = seg_iter * n_seg
-    fr_cfg = VIConfig(n_iterations=seg_iter, n_samples=8,
-                      plateau_window=10**9, check_every=seg_iter,
-                      learning_rate=fr_lr)
+    # full-rank runs as resumed segments with a per-segment lr ladder: a
+    # single 12000-iteration dispatch executes ~70 s on-device, which
+    # crashed the relayed TPU worker (probe_scale_adapt4 session r4), and
+    # a flat lr leaves marginal sds ~1.8x the exact posterior's — the
+    # ladder converges them to within 20% (probe_scale_adapt5)
+    seg_iter = 3000
+    lr_ladder = (0.02, 0.01, 0.005, 0.0025, 0.00125, 0.00125)
+    fr_iter = seg_iter * len(lr_ladder)
 
-    def run_fr(i, prev):
+    def run_fr(i, prev, lr):
+        cfg_s = VIConfig(n_iterations=seg_iter, n_samples=16,
+                         plateau_window=10**9, check_every=seg_iter,
+                         learning_rate=lr)
         return optimize_fullrank_vi(
             jax.random.fold_in(jax.random.PRNGKey(41), i),
-            staged=staged, config=fr_cfg, resume=prev)
+            staged=staged, config=cfg_s, resume=prev)
 
-    run_fr(0, None)  # compile fresh program
-    rf0 = run_fr(1, None)
-    run_fr(2, rf0)  # compile resume program
+    # compile both program modes for every ladder rung, then time clean
+    rf = None
+    for si, lr in enumerate(lr_ladder):
+        rf = run_fr(si, rf, lr)
     t0 = time.perf_counter()
-    rf = run_fr(3, None)
-    for si in range(1, n_seg):
-        rf = run_fr(4 + si, rf)
+    rf = None
+    for si, lr in enumerate(lr_ladder):
+        rf = run_fr(10 + si, rf, lr)
     fr_wall = time.perf_counter() - t0
     fr_loc = np.asarray(rf.params["loc"])
     fr_err = float(np.max(np.abs(fr_loc - pmean_np) / psd_np))

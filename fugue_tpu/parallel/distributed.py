@@ -15,7 +15,7 @@ structure SURVEY.md §5 "Distributed communication backend" calls for:
   per-shard RNG folding that is independent of how the chain batch is split
   across DCN×ICI.
 
-Pod runbook (see docs/pod_runbook.md): every host runs the SAME program;
+Pod runbook (docs/scaling.md, 'Multi-host pods'): every host runs the SAME program;
 set ``FUGUE_COORDINATOR_ADDRESS``, ``FUGUE_NUM_PROCESSES``,
 ``FUGUE_PROCESS_ID`` (or rely on the cluster auto-detection built into
 ``jax.distributed.initialize``), call ``initialize_distributed()`` first,
