@@ -448,9 +448,9 @@ def bench_abc():
     examples/abc_inference.rs): batched likelihood-free rejection on a
     Gaussian-mean target (64-obs simulator, mean-summary distance) at a
     device-bound batch size, plus a weighted ABC-SMC stage schedule.
-    vs_baseline uses the reference's sequential simulation cost: one
-    sim = n_obs normal draws + an n_obs-sum distance, costed at
-    SCALAR_CORE_FLOPS with ~20 flops per draw+score element."""
+    vs_baseline anchors to the reference's own measured per-site-visit
+    cost (15.3 us / 20-site transition, benches/f_perf.rs:27-29): one sim
+    = one model execution of n_obs+1 scalar sites."""
     import fugue_tpu as ft
     from fugue_tpu.inference.abc import (
         ABCSMCConfig, abc_rejection, abc_smc_weighted,
@@ -469,10 +469,13 @@ def bench_abc():
     dist = lambda a, b: jnp.abs(jnp.mean(a) - jnp.mean(b))
 
     def run(i):
+        # 16 sub-batches per dispatch: one host round trip covers 2M sims
+        # (a single 131k-sim batch ran inside the ~26 ms dispatch/fetch
+        # floor of the relayed chip — latency-bound at 400k sims/s)
         return abc_rejection(
             jax.random.fold_in(jax.random.PRNGKey(30), i), staged=staged,
             observed=obs, distance=dist, epsilon=0.02, n_samples=4096,
-            batch_size=BATCH, max_attempts=1 << 24,
+            batch_size=BATCH, inner_batches=16, max_attempts=1 << 26,
         )
 
     run(0)  # compile
@@ -501,9 +504,12 @@ def bench_abc():
     w = w / w.sum()
     wm = float((w * np.asarray(rs.particles["mu_p"], np.float64)).sum())
 
-    # reference cost model: sims are sequential; ~20 scalar flops per
-    # element for the draw + summary
-    ref_sims_per_sec = SCALAR_CORE_FLOPS / (20.0 * N_OBS)
+    # reference cost model anchored to the reference's OWN measured rate:
+    # its criterion bench runs a 20-site model at 15.3 us/transition
+    # (benches/f_perf.rs:27-29) = 0.765 us per site visit; one ABC sim
+    # executes the model once = N_OBS+1 scalar site visits (no vectorized
+    # sites exist there), so ~(N_OBS+1)*0.765 us/sim
+    ref_sims_per_sec = 1.0 / ((N_OBS + 1) * 0.765e-6)
     return {
         "submetric": "abc_rejection_sims_per_sec_64obs",
         "value": round(sims_per_sec, 1),

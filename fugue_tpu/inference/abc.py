@@ -107,13 +107,31 @@ def abc_rejection(
     *,
     max_attempts: int = 100_000,
     batch_size: int = 1024,
+    inner_batches: int = 1,
+    rng_impl: Optional[str] = None,
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
 ) -> ABCResult:
     """Likelihood-free rejection sampling with a bounded attempt budget
     (reference: abc.rs:283-325). The model's RETURN VALUE is the simulated
     dataset; observes/likelihood terms are ignored by construction (the model
-    should be written prior-only for ABC)."""
+    should be written prior-only for ABC).
+
+    ``inner_batches``: sub-batches simulated per DISPATCH (a ``lax.scan``
+    on device). Each host round trip then covers
+    ``inner_batches * batch_size`` simulations — on a dispatch/fetch-bound
+    device (a relayed TPU pays ~26 ms per fetch) this is the difference
+    between latency-bound and device-bound rejection.
+
+    ``rng_impl``: ``"rbg"`` runs each candidate's simulator on the TPU's
+    hardware RBG generator. Measured guidance (r4 A/B on v5e): rbg is
+    ~3.6x faster than threefry for one BULK draw, but for vmapped
+    PER-CANDIDATE draws of small blocks (the typical ABC shape, e.g.
+    131k x 64 obs) it is ~1.7x SLOWER — the per-key setup dominates.
+    Default threefry is the right choice unless each candidate simulates
+    thousands of elements. Candidate keys are still derived by threefry
+    splitting from ``key``, so runs stay deterministic per (key,
+    layout)."""
     if staged is None:
         staged = stage(model_fn, *model_args)
     observed = jnp.asarray(observed)
@@ -124,24 +142,49 @@ def abc_rejection(
     # full-batch fetch dominated the run; same single-transfer discipline
     # as SMC's packed stats).
     cap = min(n_samples, batch_size)
+    K = max(1, int(inner_batches))
 
-    def batch_fn(k, obs):
+    def sub_batch(k, obs):
         def one(kk):
+            if rng_impl == "rbg":
+                kd = jax.random.key_data(
+                    jax.random.split(kk, 2)
+                ).ravel().astype(jnp.uint32)
+                kk = jax.random.wrap_key_data(kd, impl="rbg")
             data, latents = staged.simulate(kk)
             return latents, distance(data, obs)
 
         latents, d = jax.vmap(one)(chain_keys(k, batch_size))
         ok = d <= epsilon
-        order = jnp.argsort(jnp.where(ok, 0, 1), stable=True)
-        take = order[:cap]
+        # top_k on the acceptance mask (any accepted rows; exchangeable)
+        # instead of a full argsort — a 131k-lane argsort costs ~50 ms on
+        # the MXU-less sort path and dominated the rejection loop
+        _, take = jax.lax.top_k(ok.astype(jnp.float32), cap)
         top = {a: jnp.take(v, take, axis=0) for a, v in latents.items()}
-        return top, jnp.take(d, take), jnp.sum(ok.astype(jnp.int32))
+        return top, jnp.take(d, take), jnp.minimum(
+            jnp.sum(ok.astype(jnp.int32)), cap)
+
+    def batch_fn(k, obs):
+        if K == 1:
+            top, d_top, n_ok = sub_batch(k, obs)
+            return (
+                jax.tree_util.tree_map(lambda x: x[None], top),
+                d_top[None], n_ok[None],
+            )
+
+        def body(_, kk):
+            return None, sub_batch(kk, obs)
+
+        _, (tops, d_tops, n_oks) = jax.lax.scan(
+            body, None, jax.random.split(k, K)
+        )
+        return tops, d_tops, n_oks  # (K, cap, ...) / (K, cap) / (K,)
 
     # cached per staged model (CLAUDE.md: no fresh jit closure per call);
     # observed flows in as a traced argument so same-shape datasets share
     # the executable
     jit_batch = staged.cached_kernel(
-        ("abc_rejection", batch_size, cap, float(epsilon),
+        ("abc_rejection", batch_size, cap, K, rng_impl, float(epsilon),
          getattr(distance, "__qualname__", repr(distance)),
          observed.shape, str(observed.dtype)),
         lambda: jax.jit(batch_fn),
@@ -158,15 +201,20 @@ def abc_rejection(
     while n_acc < n_samples:
         if attempts >= max_attempts:
             raise _stage_exhausted(0, n_acc, n_samples, attempts)
-        top, d_top, n_ok = batch(jax.random.fold_in(key, i))
+        tops, d_tops, n_oks = batch(jax.random.fold_in(key, i))
         i += 1
-        attempts += batch_size
-        n_take = min(int(n_ok), cap, n_samples - n_acc)
-        if n_take:
+        attempts += K * batch_size
+        n_oks = np.asarray(n_oks)
+        d_np = np.asarray(d_tops)
+        tops_np = {a: np.asarray(v) for a, v in tops.items()}
+        for ki in range(K):
+            n_take = min(int(n_oks[ki]), cap, n_samples - n_acc)
+            if n_take <= 0:
+                continue
             collected.append(
-                {a: np.asarray(v)[:n_take] for a, v in top.items()}
+                {a: v[ki, :n_take] for a, v in tops_np.items()}
             )
-            dists.append(np.asarray(d_top)[:n_take])
+            dists.append(d_np[ki, :n_take])
             n_acc += n_take
 
     particles = {

@@ -716,8 +716,10 @@ def sharded_abc_rejection(
 
         latents, d = jax.vmap(one)(keys)
         ok = d <= epsilon
-        order = jnp.argsort(jnp.where(ok, 0, 1), stable=True)
-        take = order[:cap]
+        # top_k on the acceptance mask (any accepted rows; exchangeable)
+        # instead of a full argsort — a 131k-lane argsort costs ~50 ms on
+        # the MXU-less sort path and dominated the rejection loop
+        _, take = jax.lax.top_k(ok.astype(jnp.float32), cap)
         top = {a: jnp.take(v, take, axis=0) for a, v in latents.items()}
         d_top = jnp.take(d, take)
         n_ok = jnp.minimum(jnp.sum(ok.astype(jnp.int32)), cap)

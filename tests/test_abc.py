@@ -166,3 +166,46 @@ def test_sharded_abc_rejection_matches_posterior():
     # Beta(2+7, 2+3); MC error ~ sd/sqrt(400)
     assert ps.mean() == pytest.approx(9.0 / 14.0, abs=0.04)
     assert res.n_attempts >= 4096
+
+
+def test_abc_rejection_inner_batches_matches_posterior():
+    """inner_batches scans K sub-batches per dispatch — the fetch-bound
+    fix. Same posterior, n_attempts counts all K*batch sims."""
+    flips = jnp.array([1, 1, 1, 0, 1, 0, 1, 1, 0, 1], dtype=bool)
+
+    def coin():
+        p = ft.sample("p", ft.Beta(2.0, 2.0))
+        return ft.sample("flips", ft.Bernoulli(p), sample_shape=(10,))
+
+    res = abc_rejection(
+        jax.random.PRNGKey(0), coin, observed=flips,
+        distance=lambda a, b: jnp.abs(
+            jnp.sum(a.astype(jnp.float64)) - jnp.sum(b.astype(jnp.float64))),
+        epsilon=0.5, n_samples=400, batch_size=1024, inner_batches=8,
+        max_attempts=1 << 20,
+    )
+    ps = np.asarray(res.particles["p"])
+    assert ps.shape == (400,)
+    assert ps.mean() == pytest.approx(9.0 / 14.0, abs=0.04)
+    assert res.n_attempts % (8 * 1024) == 0
+
+
+def test_abc_rejection_rbg_simulator_matches_posterior():
+    """rng_impl='rbg': the candidate simulators run on the hardware RBG
+    generator (the TPU bulk-draw path); the posterior is unchanged."""
+    flips = jnp.array([1, 1, 1, 0, 1, 0, 1, 1, 0, 1], dtype=bool)
+
+    def coin():
+        p = ft.sample("p", ft.Beta(2.0, 2.0))
+        return ft.sample("flips", ft.Bernoulli(p), sample_shape=(10,))
+
+    res = abc_rejection(
+        jax.random.PRNGKey(0), coin, observed=flips,
+        distance=lambda a, b: jnp.abs(
+            jnp.sum(a.astype(jnp.float64)) - jnp.sum(b.astype(jnp.float64))),
+        epsilon=0.5, n_samples=400, batch_size=2048, inner_batches=4,
+        rng_impl="rbg", max_attempts=1 << 20,
+    )
+    ps = np.asarray(res.particles["p"])
+    assert ps.mean() == pytest.approx(9.0 / 14.0, abs=0.04)
+    assert ps.std() == pytest.approx(0.1232, abs=0.03)
