@@ -345,15 +345,21 @@ def abc_smc_weighted(
             lp = lp + trace.choices[s.address].log_prob
         return data, lp
 
-    @jax.jit
-    def propose_batch(k, thetas, log_w, bw):
-        """Draw a batch of perturbed candidates + simulate + distance."""
+    cap = min(N, config.batch_size)
+
+    def propose_batch_fn(k, thetas, log_w, bw, obs, eps_t):
+        """One batch of perturbed candidates: simulate, score, decide
+        acceptance ON DEVICE and compact accepted rows to the front
+        (top_k), so the host fetches ``cap`` rows + one count instead of
+        the full batch (same single-transfer discipline as
+        ``abc_rejection`` — on a relayed chip the full-batch fetches
+        dominated every stage)."""
         def one(kk):
             k1, k2, k3 = jax.random.split(kk, 3)
             base = jax.random.categorical(k1, log_w)
             theta = thetas[base] + bw * jax.random.normal(k2, (d_dim,), thetas.dtype)
             data, lp = sim_and_logprior(k3, theta)
-            dist = distance(data, observed)
+            dist = distance(data, obs)
             # kernel denominator: log sum_j wbar_j K(theta | theta_j)
             log_wbar = log_w - log_sum_exp(log_w)
             z = (theta[None, :] - thetas) / bw
@@ -363,7 +369,21 @@ def abc_smc_weighted(
             log_denom = log_sum_exp(log_wbar + log_k)
             return theta, dist, lp - log_denom, jnp.isfinite(lp)
 
-        return jax.vmap(one)(chain_keys(k, config.batch_size))
+        th, d, lw, in_support = jax.vmap(one)(
+            chain_keys(k, config.batch_size)
+        )
+        ok = in_support & (d <= eps_t)
+        _, take = jax.lax.top_k(ok.astype(jnp.float32), cap)
+        n_ok = jnp.minimum(jnp.sum(ok.astype(jnp.int32)), cap)
+        return jnp.take(th, take, axis=0), jnp.take(lw, take), n_ok
+
+    jit_propose = staged.cached_kernel(
+        ("abc_smc_propose", config.batch_size, cap, N, d_dim,
+         getattr(distance, "__qualname__", repr(distance)),
+         observed.shape, str(observed.dtype),
+         tuple(s.address for s in param_sites)),
+        lambda: jax.jit(propose_batch_fn),
+    )
 
     for t, eps in enumerate(config.epsilons[1:], start=1):
         # weighted kernel bandwidth (abc.rs:744-771)
@@ -371,6 +391,7 @@ def abc_smc_weighted(
         mean = jnp.sum(wbar[:, None] * thetas, axis=0)
         var = jnp.sum(wbar[:, None] * (thetas - mean) ** 2, axis=0)
         bw = jnp.sqrt(2.0 * jnp.maximum(var, 1e-12))
+        eps_t = jnp.asarray(eps, settings.real_dtype())
 
         new_thetas: List[np.ndarray] = []
         new_logw: List[np.ndarray] = []
@@ -378,20 +399,17 @@ def abc_smc_weighted(
         while n_acc < N:
             if attempts >= config.max_attempts_per_stage:
                 raise _stage_exhausted(t, n_acc, N, attempts)
-            th, dist, lw, in_support = propose_batch(
+            th_top, lw_top, n_ok = jit_propose(
                 jax.random.fold_in(jax.random.fold_in(key, t), i),
-                thetas,
-                log_w,
-                bw,
+                thetas, log_w, bw, observed, eps_t,
             )
             i += 1
             attempts += config.batch_size
-            mask = np.asarray(in_support) & (np.asarray(dist) <= eps)
-            idx = np.nonzero(mask)[0]
-            if idx.size:
-                new_thetas.append(np.asarray(th)[idx])
-                new_logw.append(np.asarray(lw)[idx])
-                n_acc += idx.size
+            n_take = min(int(n_ok), cap, N - n_acc)
+            if n_take:
+                new_thetas.append(np.asarray(th_top)[:n_take])
+                new_logw.append(np.asarray(lw_top)[:n_take])
+                n_acc += n_take
         thetas = jnp.asarray(np.concatenate(new_thetas, axis=0)[:N])
         log_w = jnp.asarray(np.concatenate(new_logw)[:N])
         attempts_total += attempts
