@@ -324,3 +324,55 @@ def test_mesh_helpers():
     assert pad_to_multiple(5, 4) == 8
     assert pad_to_multiple(8, 4) == 8
     assert pad_to_multiple(1, 8) == 8
+
+
+def test_site_fusion_parity():
+    """FUGUE_TPU_SITE_FUSION=1 batch-scores grouped sites; densities and
+    per-site choice log-probs must match the eager path (order-of-
+    accumulation tolerance only). Default is OFF by measurement — see
+    runtime/interpreters.py."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import fugue_tpu as ft
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 2.0))
+        tau = ft.sample("tau", ft.LogNormal(0.0, 0.5))
+        for i in range(12):
+            th = ft.sample(ft.addr("theta", i), ft.Normal(mu, tau))
+            ft.observe(ft.addr("y", i), ft.Normal(th, 1.0),
+                       jnp.asarray([0.1 * i, 0.2]))
+        ft.sample("k", ft.Poisson(3.0))
+
+    def run_paths():
+        st = ft.stage(model)
+        lat = st.sample_prior(__import__("jax").random.PRNGKey(0))
+        parts = st.log_density_parts(lat)
+        tr = st.replay_trace(lat)
+        z = st.unconstrain(lat)
+        return (float(parts.log_prior), float(parts.log_likelihood),
+                float(st.potential(z)),
+                {a: float(np.asarray(c.log_prob))
+                 for a, c in tr.choices.items()})
+
+    old = os.environ.get("FUGUE_TPU_SITE_FUSION")
+    try:
+        os.environ["FUGUE_TPU_SITE_FUSION"] = "0"
+        eager = run_paths()
+        os.environ["FUGUE_TPU_SITE_FUSION"] = "1"
+        fused = run_paths()
+    finally:
+        if old is None:
+            os.environ.pop("FUGUE_TPU_SITE_FUSION", None)
+        else:
+            os.environ["FUGUE_TPU_SITE_FUSION"] = old
+    np.testing.assert_allclose(eager[0], fused[0], rtol=1e-12)
+    np.testing.assert_allclose(eager[1], fused[1], rtol=1e-12)
+    np.testing.assert_allclose(eager[2], fused[2], rtol=1e-12)
+    assert eager[3].keys() == fused[3].keys()
+    for a in eager[3]:
+        np.testing.assert_allclose(eager[3][a], fused[3][a], rtol=1e-12,
+                                   err_msg=a)
