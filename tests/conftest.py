@@ -78,7 +78,7 @@ def pytest_runtest_logreport(report):
 
 
 def pytest_terminal_summary(terminalreporter):
-    budget = float(os.environ.get("FUGUE_SUITE_BUDGET_S", 600))
+    budget = float(os.environ.get("FUGUE_SUITE_BUDGET_S", 1200))
     wall = _time.perf_counter() - _SESSION_T0
     slow = sorted(_DURATIONS, reverse=True)[:10]
     if not slow:

