@@ -517,11 +517,13 @@ def adaptive_smc(
                 "from the zero-rejuvenation shortcut or older checkpoints "
                 "without state cannot be resumed)"
             )
+        # state leaves are GLOBAL arrays (the sharded path returns them
+        # with their shardings; shard_map re-splits them on entry)
         n_res = jax.tree_util.tree_leaves(resume.state)[0].shape[0]
-        if n_res != n_local:
+        if n_res != N:
             raise ValueError(
-                f"resume state holds {n_res} (per-shard) particles; this "
-                f"run is configured for {n_local}"
+                f"resume state holds {n_res} particles; this run is "
+                f"configured for {N}"
             )
         jit_drive = staged.cached_kernel(
             ("smc_resume", N, config, None if mesh is None else id(mesh)),

@@ -383,3 +383,30 @@ def test_sharded_gibbs_posterior(mesh):
     assert abs(th.mean() - e_th) < 0.05
     # shards genuinely differ (key folding worked)
     assert not np.allclose(th[0], th[2])
+
+
+def test_sharded_smc_resume_bitwise():
+    """Sharded SMC resume: the carry's sharded leaves (particles, weight
+    vectors) round-trip through the resume program and the split ladder is
+    bitwise identical to the uninterrupted sharded run."""
+    from fugue_tpu.inference.smc import SMCConfig
+    from fugue_tpu.parallel.sharded import sharded_smc
+
+    def model():
+        mu = ft.sample("mu", ft.Normal(0.0, 10.0))
+        ft.observe("y", ft.Normal(mu, 0.05), jnp.array(3.0))
+
+    staged = ft.stage(model)
+    key = jax.random.PRNGKey(4)
+    full = sharded_smc(key, 1024, staged=staged,
+                       config=SMCConfig(rejuvenation_steps=2))
+    part = sharded_smc(key, 1024, staged=staged,
+                       config=SMCConfig(rejuvenation_steps=2, max_stages=2))
+    assert not part.converged
+    done = sharded_smc(jax.random.PRNGKey(0), 1024, staged=staged,
+                       config=SMCConfig(rejuvenation_steps=2), resume=part)
+    assert done.converged
+    np.testing.assert_array_equal(
+        np.asarray(done.particles["mu"]), np.asarray(full.particles["mu"]))
+    np.testing.assert_allclose(done.log_evidence, full.log_evidence,
+                               rtol=1e-12)
