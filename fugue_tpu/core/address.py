@@ -15,6 +15,7 @@ reference gets from ``Arc<str>`` + cached hash (FG-05).
 from __future__ import annotations
 
 import sys
+import weakref
 from typing import Union
 
 _SEP = "#"
@@ -44,20 +45,27 @@ class Address(str):
     ``SiteTable``).
     """
 
-    __slots__ = ()
+    __slots__ = ("__weakref__",)
 
     # instance cache: ``sys.intern`` alone does NOT make two Address
     # constructions identical (str.__new__ copies into a fresh instance),
     # so the O(1) identity-compare the docstring promises needs a real
-    # cache. Bounded by the number of distinct site addresses.
-    _instances: dict = {}
+    # cache. Weak values so addresses from long-dead models are collectable
+    # (the cache would otherwise grow without bound across many staged
+    # models); scoped per-class via ``cls.__dict__`` so a subclass never
+    # receives base-class instances (ADVICE r4).
+    _instances: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
 
     def __new__(cls, value: str) -> "Address":
         v = sys.intern(str(value))
-        cached = cls._instances.get(v)
+        cache = cls.__dict__.get("_instances")
+        if cache is None:
+            cache = weakref.WeakValueDictionary()
+            setattr(cls, "_instances", cache)
+        cached = cache.get(v)
         if cached is None:
             cached = super().__new__(cls, v)
-            cls._instances[v] = cached
+            cache[v] = cached
         return cached
 
     @property

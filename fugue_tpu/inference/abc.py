@@ -186,6 +186,11 @@ def abc_rejection(
     jit_batch = staged.cached_kernel(
         ("abc_rejection", batch_size, cap, K, rng_impl, float(epsilon),
          getattr(distance, "__qualname__", repr(distance)),
+         # id() disambiguates distinct closures sharing a __qualname__
+         # (e.g. two lambdas with different closed-over weights); the
+         # cached jitted closure keeps `distance` alive, so the id is
+         # never recycled while the cache entry exists (ADVICE r4)
+         id(distance),
          observed.shape, str(observed.dtype)),
         lambda: jax.jit(batch_fn),
     )
@@ -380,6 +385,11 @@ def abc_smc_weighted(
     jit_propose = staged.cached_kernel(
         ("abc_smc_propose", config.batch_size, cap, N, d_dim,
          getattr(distance, "__qualname__", repr(distance)),
+         # id() disambiguates distinct closures sharing a __qualname__
+         # (e.g. two lambdas with different closed-over weights); the
+         # cached jitted closure keeps `distance` alive, so the id is
+         # never recycled while the cache entry exists (ADVICE r4)
+         id(distance),
          observed.shape, str(observed.dtype),
          tuple(s.address for s in param_sites)),
         lambda: jax.jit(propose_batch_fn),

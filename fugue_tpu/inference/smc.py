@@ -513,9 +513,10 @@ def adaptive_smc(
     if resume is not None:
         if resume.state is None:
             raise ValueError(
-                "resume= needs an SMCResult carrying its state (results "
-                "from the zero-rejuvenation shortcut or older checkpoints "
-                "without state cannot be resumed)"
+                "resume= needs an SMCResult carrying its state (older "
+                "checkpoints saved without state cannot be resumed). "
+                "Zero-rejuvenation shortcut results DO carry state; "
+                "resuming one re-runs the idempotent one-shot reweight."
             )
         # state leaves are GLOBAL arrays (the sharded path returns them
         # with their shardings; shard_map re-splits them on entry)

@@ -744,6 +744,11 @@ def sharded_abc_rejection(
     jit_batch = staged.cached_kernel(
         ("sharded_abc", batch_size, cap, float(epsilon),
          getattr(distance, "__qualname__", repr(distance)),
+         # id() disambiguates distinct closures sharing a __qualname__
+         # (e.g. two lambdas with different closed-over weights); the
+         # cached jitted closure keeps `distance` alive, so the id is
+         # never recycled while the cache entry exists (ADVICE r4)
+         id(distance),
          observed.shape, str(observed.dtype), id(mesh), chain_axes),
         build,
     )

@@ -43,10 +43,17 @@ def kind_of(value) -> str:
 @jax.tree_util.register_dataclass
 @dataclass
 class Choice:
-    """One recorded random choice (reference: trace.rs:123-131)."""
+    """One recorded random choice (reference: trace.rs:123-131).
+
+    Invariant: under ``FUGUE_TPU_SITE_FUSION=1`` a handler may insert a
+    Choice with ``log_prob=None`` and fill it in at ``finish()`` when the
+    pending fusion groups flush — ``log_prob`` is only guaranteed non-None
+    on traces returned from a completed handler run. Handler subclasses
+    reading ``trace.choices[addr].log_prob`` mid-run must tolerate None.
+    """
 
     value: Any
-    log_prob: Any  # summed log-prob contribution of this site
+    log_prob: Any  # summed log-prob; None pre-finish under site fusion
     support: Support = field(metadata=dict(static=True), default=None)
     is_observed: bool = field(metadata=dict(static=True), default=False)
 

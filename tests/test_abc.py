@@ -209,3 +209,27 @@ def test_abc_rejection_rbg_simulator_matches_posterior():
     ps = np.asarray(res.particles["p"])
     assert ps.mean() == pytest.approx(9.0 / 14.0, abs=0.04)
     assert ps.std() == pytest.approx(0.1232, abs=0.03)
+
+
+def test_distinct_lambda_distances_do_not_share_kernels():
+    """Two distance closures with the SAME __qualname__ but different
+    closed-over constants must compile separate kernels (ADVICE r4: the
+    cache key now includes id(distance); pre-fix the second call silently
+    reused the first kernel with the old distance baked in)."""
+
+    def make_distance(shift):
+        return lambda a, b: jnp.abs(jnp.mean(a) - jnp.mean(b)) + shift
+
+    ok = abc_rejection(
+        jax.random.PRNGKey(3), sim_model, OBSERVED, make_distance(0.0),
+        epsilon=0.5, n_samples=50,
+    )
+    assert ok.n_attempts >= 50
+    # same qualname, but shift=10 pushes every distance above epsilon:
+    # with a collision-proof key this exhausts the budget instead of
+    # reusing the shift=0 kernel and "succeeding"
+    with pytest.raises(ABCError):
+        abc_rejection(
+            jax.random.PRNGKey(3), sim_model, OBSERVED, make_distance(10.0),
+            epsilon=0.5, n_samples=50, max_attempts=4096,
+        )

@@ -376,3 +376,27 @@ def test_site_fusion_parity():
     for a in eager[3]:
         np.testing.assert_allclose(eager[3][a], fused[3][a], rtol=1e-12,
                                    err_msg=a)
+
+
+def test_address_cache_is_weak_and_per_class():
+    """ADVICE r4: the interning cache must not pin every address forever,
+    and a subclass must not receive base-class instances."""
+    import gc
+    import weakref
+
+    from fugue_tpu.core.address import Address
+
+    a = Address("ephemeral-site-xyz")
+    ref = weakref.ref(a)
+    assert Address("ephemeral-site-xyz") is a  # identity while alive
+    del a
+    gc.collect()
+    assert ref() is None  # collectable once unreferenced
+
+    class SubAddress(Address):
+        __slots__ = ()
+
+    base = Address("shared-name")
+    sub = SubAddress("shared-name")
+    assert type(sub) is SubAddress and sub is not base
+    assert SubAddress("shared-name") is sub
