@@ -562,10 +562,20 @@ class FullRankGuide:
 
 
 def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None,
-                     resume_mode: bool = False):
+                     resume_mode: bool = False, mesh=None, chain_axes=None,
+                     data_specs=None, data_min_bytes=None):
     """Compile the WHOLE optimization — Adam steps, ELBO history, and the
     plateau early-stop — into one XLA program (``lax.while_loop`` over
     ``check_every``-sized scan chunks).
+
+    SPMD mode (``mesh`` given): the whole program runs under ``shard_map``
+    over ``chain_axes``; ``loss_fn`` must return the PER-SHARD contribution
+    whose ``psum`` over the axes equals the global negative ELBO (the
+    sharded drivers construct such losses), and ``data_specs`` gives the
+    PartitionSpecs for the staged data leaves (sharded data plates). Both
+    the loss and its gradient are psum-reduced before the optimizer update,
+    so every shard applies the identical update and the variational
+    parameters stay bit-replicated across the mesh.
 
     Rationale (VERDICT r2 weak #2, measured in scripts/probe_vi_cost*.py):
     the per-iteration device cost of this loss is ~100 us, but the old
@@ -586,9 +596,20 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None,
     w = config.plateau_window
     plateau_on = 2 * w <= hist_len
 
+    axis_names = None if mesh is None else (
+        chain_axes[0] if len(chain_axes) == 1 else tuple(chain_axes)
+    )
+
     def body(carry, k):
         params, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(params, k)
+        if axis_names is not None:
+            # explicit psum AFTER the backward pass: each shard computes its
+            # local gradient contribution, the reduction makes the update
+            # identical on every shard (params stay bit-replicated — the
+            # scaling-book DP recipe, not grad-through-pmean)
+            grads = jax.lax.psum(grads, axis_names)
+            loss = jax.lax.psum(loss, axis_names)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = guide.clamp(params)
@@ -677,27 +698,44 @@ def _make_vi_program(guide, tx, loss_fn, config: "VIConfig", staged=None,
         # matrix as a constant travels inside the (possibly remote)
         # compile payload and re-uploads on every recompile
         if resume_mode:
-            @jax.jit
-            def run(key, params_in, *dl):
-                with staged.bind_data(dl):
+            def run_raw(key, params_in, *dl):
+                with staged.bind_data(dl, data_min_bytes):
                     return run_impl(key, dl, params_in)
         else:
-            @jax.jit
-            def run(key, *dl):
-                with staged.bind_data(dl):
+            def run_raw(key, *dl):
+                with staged.bind_data(dl, data_min_bytes):
                     return run_impl(key, dl)
     elif resume_mode:
-        run = jax.jit(lambda key, params_in: run_impl(key, (), params_in))
+        run_raw = lambda key, params_in: run_impl(key, (), params_in)
     else:
-        run = jax.jit(lambda key: run_impl(key, ()))
-    return run
+        run_raw = lambda key: run_impl(key, ())
+
+    if mesh is None:
+        return jax.jit(run_raw)
+
+    # SPMD wrapping: data leaves may be sharded (data_specs), everything
+    # else — key, resumed params, outputs — is replicated. A single P()
+    # acts as a pytree prefix for the params dict.
+    from jax.sharding import PartitionSpec as _P
+
+    from ..parallel.sharded import _shard_map
+
+    n_data = 0 if staged is None else len(staged.data_leaves(data_min_bytes))
+    if data_specs is None:
+        data_specs = tuple(_P() for _ in range(n_data))
+    in_specs = (_P(),) + ((_P(),) if resume_mode else ()) + tuple(data_specs)
+    mapped = _shard_map(
+        run_raw, mesh, in_specs=in_specs, out_specs=(_P(), _P())
+    )
+    return jax.jit(mapped)
 
 
-def _drive_vi(run, guide, tx, key, staged=None, resume=None) -> "VIResult":
+def _drive_vi(run, guide, tx, key, staged=None, resume=None,
+              data_min_bytes=None) -> "VIResult":
     """Shared host-side tail: one dispatch + ONE result transfer, then
     truncate the history to the iterations that actually ran before the
     in-program early exit."""
-    data = staged.data_leaves() if staged is not None else []
+    data = staged.data_leaves(data_min_bytes) if staged is not None else []
     if resume is not None:
         params, packed = run(key, resume.params, *data)
     else:
@@ -721,6 +759,8 @@ def optimize_fullrank_vi(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     resume: Optional["VIResult"] = None,
+    mesh=None,
+    shard: str = "auto",
 ) -> VIResult:
     """Full-rank ADVI: pathwise gradients of
     E_q[log p(x(z)) + log|J|] + H(q) with annealed Adam + plateau stopping
@@ -730,11 +770,20 @@ def optimize_fullrank_vi(
     variational parameters (flowing in as runtime arguments, so repeated
     resumes share one executable; the Adam moments and learning-rate
     schedule restart per segment). Long runs on a dispatch-limited device
-    split into several segments this way."""
+    split into several segments this way.
+
+    ``mesh``: run the whole optimization device-parallel (delegates to
+    ``parallel.sharded.sharded_vi`` with ``guide='fullrank'``; ``shard=``
+    picks data-plate vs MC-sample sharding)."""
     import optax
 
     if staged is None:
         staged = stage(model_fn, *model_args)
+    if mesh is not None:
+        from ..parallel.sharded import sharded_vi
+
+        return sharded_vi(key, config=config, mesh=mesh, guide="fullrank",
+                          shard=shard, staged=staged, resume=resume)
     mode = "fresh" if resume is None else "resume"
 
     def build():
@@ -772,6 +821,8 @@ def optimize_meanfield_vi(
     model_args: tuple = (),
     staged: Optional[StagedModel] = None,
     resume: Optional["VIResult"] = None,
+    mesh=None,
+    shard: str = "auto",
 ) -> VIResult:
     """Mean-field VI driver (reference: optimize_meanfield_vi_with_config,
     vi.rs:784-864) with pathwise gradients, Adam or Robbins-Monro SGA,
@@ -784,11 +835,20 @@ def optimize_meanfield_vi(
     ``resume``: a previous ``VIResult`` — continue from its variational
     parameters (runtime arguments; Adam moments/schedule restart per
     segment). See ``optimize_fullrank_vi``.
+
+    ``mesh``: run the whole optimization device-parallel (delegates to
+    ``parallel.sharded.sharded_vi``; ``shard=`` picks data-plate vs
+    MC-sample sharding).
     """
     import optax
 
     if staged is None:
         staged = stage(model_fn, *model_args)
+    if mesh is not None:
+        from ..parallel.sharded import sharded_vi
+
+        return sharded_vi(key, config=config, mesh=mesh, guide="meanfield",
+                          shard=shard, staged=staged, resume=resume)
     mode = "fresh" if resume is None else "resume"
 
     def build():

@@ -25,6 +25,7 @@ from .sharded import (
     sharded_nuts_chain,
     sharded_pt_chain,
     sharded_smc,
+    sharded_vi,
 )
 
 __all__ = [
@@ -48,4 +49,5 @@ __all__ = [
     "sharded_nuts_chain",
     "sharded_pt_chain",
     "sharded_smc",
+    "sharded_vi",
 ]
