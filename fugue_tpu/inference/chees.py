@@ -75,15 +75,26 @@ class ChEESConfig:
     step_size: Optional[float] = None  # None → reasonable-epsilon search
     target_accept: float = 0.651  # optimal for jittered fixed-L HMC (paper §4)
     adapt_rate: float = 0.025  # Adam learning rate on log T
-    # MEASURED LIMITATION (r4, scripts + /tmp/chees_landscape session): on
-    # strongly-informed targets (N >> d GLMs) the ChEES criterion
-    # E[(||q'-m||^2-||q-m||^2)^2] is nearly FLAT in T at stationarity
-    # (brute-forced: criterion 0.02 -> 0.05 over T in [0.5, 4] on a d=256
-    # N=2e4 regression), so the learned T drifts to the short-T shoulder
-    # (L ~ 1-2 leapfrogs) and mixing per transition degrades; the same
-    # adaptation recovers textbook T ~ 2 on isotropic/no-data targets of
-    # any scale and dimension. For large-d data-informed posteriors prefer
-    # NUTS (bench: scale_nuts row, R-hat < 1.01 at d=1024).
+    # Adaptation criterion:
+    # - "chees": E[(||q'-m||^2 - ||q-m||^2)^2] over the full state
+    #   (Hoffman/Radul/Sountsov 2021). MEASURED LIMITATION (r4, brute-forced
+    #   landscape): on strongly-informed targets (N >> d GLMs) this
+    #   criterion is nearly FLAT in T at stationarity (0.02 -> 0.05 over
+    #   T in [0.5, 4] on a d=256 N=2e4 regression) — the squared-norm
+    #   change is a SUM over d directions whose fast components drown the
+    #   slow ones — so the learned T drifts to the short-T shoulder
+    #   (L ~ 1-2 leapfrogs) and mixing per transition degrades. It remains
+    #   the right default for small-d / weakly-informed targets.
+    # - "snaper": SNAPER-HMC (Sountsov & Hoffman, JMLR 2022): the same
+    #   update applied to the SQUARED PROJECTION onto the posterior's
+    #   leading principal direction, estimated online from the chain batch
+    #   by an Oja/EMA power iteration in the mass-preconditioned space.
+    #   Focusing on the single slowest direction restores a sharp optimum
+    #   on exactly the N >> d regime where "chees" flattens (r4 weak #1);
+    #   use this for large-d data-informed posteriors.
+    criterion: str = "chees"
+    # EMA decay for the online principal-direction estimate ("snaper" only)
+    principal_decay: float = 0.9
     # Cap on the learned trajectory length AFTER mass adaptation, in units
     # of the preconditioned oscillation period 2pi. The ChEES criterion has
     # spurious maxima at period MULTIPLES (measured: one seed rode T to ~5
@@ -185,8 +196,14 @@ def _adam_step(state: AdamState, grad, lr, b1=0.9, b2=0.999, eps=1e-8):
     return AdamState(m=m, v=v, t=t), lr * mhat / (jnp.sqrt(vhat) + eps)
 
 
-def chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean):
+def chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean, proj=None):
     """Surrogate d ChEES / d trajectory-length from the batch (paper §3.2).
+
+    ``proj``: optional (d,) projection vector — the SNAPER variant: the
+    criterion is applied to the scalar projection (q̃·proj) instead of the
+    full state, so d(x̃'·u)²/dT = 2(x̃'·u)(v'·u) replaces the vector inner
+    products. Passing the preconditioned principal direction (divided
+    elementwise by sqrt(mass scale)) makes this the SNAPER-HMC surrogate.
 
     Numerically hardened for the f32 TPU path (an early-warmup proposal can
     sit at 1e20 before the divergence check rejects it — finite in f32 but
@@ -213,13 +230,47 @@ def chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean):
     qp_bar = cmean(Qp_safe * w[:, None], axis=0) / mw
     Qc = Q - q_bar[None, :]
     Qp = Qp_safe - qp_bar[None, :]
-    dsq = jnp.sum(Qp * Qp, axis=1) - jnp.sum(Qc * Qc, axis=1)
-    inner = jnp.sum(Qp * V_safe, axis=1)
+    if proj is None:
+        dsq = jnp.sum(Qp * Qp, axis=1) - jnp.sum(Qc * Qc, axis=1)
+        inner = jnp.sum(Qp * V_safe, axis=1)
+    else:
+        pq = Qc @ proj
+        pqp = Qp @ proj
+        pv = V_safe @ proj
+        dsq = pqp * pqp - pq * pq
+        inner = pqp * pv
     g = h * dsq * inner
     g = jnp.where(jnp.isfinite(g), g, 0.0)
     grad = cmean(w * g) / mw
     grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
     return jnp.clip(grad, -1e6, 1e6)
+
+
+def _pre_scale(inv_mass):
+    # preconditioned coordinates x = q / S, S = sqrt(inv_mass) ~= the
+    # per-dim posterior sd the diagonal mass adapts to
+    return jnp.sqrt(jnp.maximum(inv_mass, 1e-30))
+
+
+def oja_update(Q_out, u, z, inv_mass, cmean, decay, dt):
+    """One Oja/EMA power-iteration step toward the leading principal
+    direction of the preconditioned chain batch (SNAPER §3: the criterion's
+    projection vector). f32-hardened like ``chees_gradient``: diverged rows
+    are masked out BEFORE any arithmetic (inf * 0 is NaN), and a degenerate
+    all-masked batch keeps the previous direction."""
+    S = _pre_scale(inv_mass)
+    finite_q = jnp.all(jnp.isfinite(Q_out), axis=1)
+    Qs = jnp.where(finite_q[:, None], Q_out, 0.0)
+    nf = jnp.maximum(cmean(finite_q.astype(dt)), 1e-10)
+    q_m = cmean(Qs, axis=0) / nf
+    Xc = jnp.where(finite_q[:, None], (Qs - q_m[None, :]) / S, 0.0)
+    y = Xc @ u
+    cov_u = cmean(y[:, None] * Xc, axis=0) / nf
+    cov_u = jnp.where(jnp.isfinite(cov_u), cov_u, 0.0)
+    z_new = decay * z + (1.0 - decay) * cov_u
+    nrm = jnp.linalg.norm(z_new)
+    u_new = jnp.where(nrm > 1e-20, z_new / jnp.maximum(nrm, 1e-30), u)
+    return u_new, z_new
 
 
 def make_chees_drive(
@@ -285,9 +336,21 @@ def make_chees_drive(
         Q_out = jnp.where(accepted[:, None], Q_new, Q)
         return Q_out, Q_new, P_new, accept_prob, accepted, divergent, L
 
-    def chees_grad(Q, Q_prop, P_end, accept_prob, h, inv_mass):
+    def chees_grad(Q, Q_prop, P_end, accept_prob, h, inv_mass, proj=None):
         V_end = jax.vmap(lambda p: mass_velocity(inv_mass, p))(P_end)
-        return chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean)
+        return chees_gradient(Q, Q_prop, V_end, accept_prob, h, cmean,
+                              proj=proj)
+
+    if config.criterion not in ("chees", "snaper"):
+        raise ValueError(
+            f"unknown ChEES criterion {config.criterion!r} "
+            "(expected 'chees' or 'snaper')"
+        )
+    snaper = config.criterion == "snaper"
+
+    def _oja_update(Q_out, u, z, inv_mass):
+        return oja_update(Q_out, u, z, inv_mass, cmean,
+                          config.principal_decay, dt)
 
     def drive(q0, k_eps, k_run, eps_over=None, T_over=None,
               inv_mass_over=None):
@@ -313,7 +376,8 @@ def make_chees_drive(
 
         def make_warm_body(log_t_cap):
             def warm_body(carry, xs):
-                Q, da, logT, logT_bar, adam, welford, inv_mass = carry
+                (Q, da, logT, logT_bar, adam, welford, inv_mass,
+                 u, z) = carry
                 k, h, it = xs
                 eps = jnp.exp(da.log_eps) if config.adapt_step_size else eps0
                 T = jnp.exp(logT)
@@ -324,7 +388,12 @@ def make_chees_drive(
                     da, cmean(ap), config.target_accept
                 )
                 # criterion compares the PROPOSAL against the pre-transition state
-                g = chees_grad(Q, Q_prop, P_end, ap, h, inv_mass)
+                if snaper:
+                    proj = u / _pre_scale(inv_mass)
+                    g = chees_grad(Q, Q_prop, P_end, ap, h, inv_mass,
+                                   proj=proj)
+                else:
+                    g = chees_grad(Q, Q_prop, P_end, ap, h, inv_mass)
                 adam_new, step = _adam_step(
                     adam, -g * jnp.exp(logT), config.adapt_rate
                 )  # ascent on ChEES
@@ -337,17 +406,22 @@ def make_chees_drive(
                 eta = jnp.power(adam_new.t, -0.75)
                 logT_bar_new = eta * logT_new + (1.0 - eta) * logT_bar
                 welford_new = welford_push_batch(welford, Q_out)
+                if snaper:
+                    u_new, z_new = _oja_update(Q_out, u, z, inv_mass)
+                else:
+                    u_new, z_new = u, z
                 return (
                     Q_out, da_new, logT_new, logT_bar_new, adam_new,
-                    welford_new, inv_mass,
+                    welford_new, inv_mass, u_new, z_new,
                 ), cmean(ap)
 
             return warm_body
 
         n_half = n_warmup // 2
+        u0 = jnp.full((d,), 1.0 / np.sqrt(d), dt)
         carry = (
             q0, da0, logT0, logT0, AdamState.init(),
-            WelfordState.init(d), inv_mass0,
+            WelfordState.init(d), inv_mass0, u0, u0,
         )
         # First warmup half (skipped entirely when n_half == 0, e.g.
         # n_warmup == 1, so exactly n_warmup transitions run and the halton
@@ -370,17 +444,25 @@ def make_chees_drive(
                 jnp.arange(n_half),
             )
             carry, _ = jax.lax.scan(make_warm_body(inf_cap), carry, xs1)
-            Q1, da1, logT1, logT_bar1, adam1, welford1, _ = carry
+            Q1, da1, logT1, logT_bar1, adam1, welford1, _, u1, z1 = carry
             if config.adapt_mass:
                 if chain_axis is not None:
                     welford1 = welford_merge_across(welford1, chain_axis)
                 inv_mass1 = welford_variance(welford1)
                 da1 = DualAveragingState.init(jnp.exp(da1.log_eps_bar))
+                if snaper:
+                    # the preconditioned coordinates change with the mass
+                    # swap: remap the principal direction (first-half S was
+                    # 1, so the q-space direction IS u) into the new
+                    # pre-space and restart the EMA there
+                    u1 = u1 / _pre_scale(inv_mass1)
+                    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-30)
+                    z1 = u1
             else:
                 inv_mass1 = inv_mass0
             carry = (
                 Q1, da1, logT1, logT_bar1, adam1,
-                WelfordState.init(d), inv_mass1,
+                WelfordState.init(d), inv_mass1, u1, z1,
             )
         n_rest = n_warmup - n_half
         if n_rest > 0:
@@ -392,7 +474,7 @@ def make_chees_drive(
             cap2 = post_mass_cap if config.adapt_mass else inf_cap
             carry, _ = jax.lax.scan(make_warm_body(cap2), carry, xs2)
 
-        Q_w, da_w, logT_w, logT_bar_w, _, _, inv_mass_f = carry
+        Q_w, da_w, logT_w, logT_bar_w, _, _, inv_mass_f, _, _ = carry
         # adaptation off -> the configured eps (da.log_eps is updated by the
         # shared warmup body regardless; see hmc.make_hmc_drive)
         eps_f = (
