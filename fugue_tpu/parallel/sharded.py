@@ -244,6 +244,7 @@ def sharded_nuts_chain(
                 P(None, ax_el),          # tree depths
                 P(),                     # eps_final (consensus, replicated)
                 P(None,) if config.mass != "dense" else P(None, None),
+                P(),                     # n_leapfrogs (psum'd, replicated)
             ),
         )
         return jax.jit(mapped)
@@ -253,7 +254,7 @@ def sharded_nuts_chain(
          chain_axes, _sharded_discrete_key(discrete)),
         build_mapped,
     )
-    q_f, qs, aps, divs, depths, eps_final, inv_mass_f = jit_mapped(
+    q_f, qs, aps, divs, depths, eps_final, inv_mass_f, n_leaps = jit_mapped(
         q0, k_eps, k_run, *data
     )
 
@@ -267,6 +268,7 @@ def sharded_nuts_chain(
         step_size=float(np.asarray(eps_final)),
         inv_mass=inv_mass_f,
         final_positions=q_f,
+        n_leapfrogs=int(np.asarray(n_leaps)),
     )
 
 
