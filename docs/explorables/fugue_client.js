@@ -65,6 +65,31 @@ class FugueClient {
     return this.rpc("hmc.set", { session_id: sessionId, ...opts });
   }
 
+  // -- incremental NUTS with leaf-recorded trajectories (flagship engine;
+  //    no wasm counterpart — the reference ships fixed-L HMC only) --
+  nutsNew(modelId, opts = {}) {
+    return this.rpc("nuts.new", { model_id: modelId, ...opts });
+  }
+  nutsStep(sessionId, recorded = false) {
+    return this.rpc("nuts.step", { session_id: sessionId, recorded });
+  }
+  nutsSet(sessionId, opts) {
+    return this.rpc("nuts.set", { session_id: sessionId, ...opts });
+  }
+
+  // -- ChEES-HMC chain-batch session (cross-chain learned trajectories) --
+  cheesNew(modelId, opts = {}) {
+    return this.rpc("chees.new", { model_id: modelId, ...opts });
+  }
+  cheesStep(sessionId, n = 1) {
+    return this.rpc("chees.step", { session_id: sessionId, n });
+  }
+
+  // -- one-shot device-parallel HMC over the host's mesh --
+  hmcSharded(modelId, opts = {}) {
+    return this.rpc("hmc.sharded", { model_id: modelId, ...opts });
+  }
+
   // -- bootstrap particle filter (wasm pf.rs analog) --
   pfNew(opts = {}) {
     return this.rpc("pf.new", opts);

@@ -94,7 +94,13 @@ from .inference.hmc import (
     hmc_chain,
     hmc_transition,
 )
-from .inference.nuts import NUTSConfig, NUTSResult, nuts_chain, nuts_transition
+from .inference.nuts import (
+    NUTSConfig,
+    NUTSResult,
+    NutsSession,
+    nuts_chain,
+    nuts_transition,
+)
 from .inference.smc import (
     SMCConfig,
     SMCResult,
@@ -125,7 +131,7 @@ from .inference.abc import (
     manhattan_distance,
 )
 from .inference.gibbs import GibbsResult, gibbs_chain
-from .inference.chees import ChEESConfig, ChEESResult, chees_chain
+from .inference.chees import ChEESConfig, ChEESResult, CheesSession, chees_chain
 from .inference.ess import ESSConfig, ESSResult, ess_chain
 from .inference.marginalize import MarginalizedModel, marginalize
 from .inference.tempering import PTConfig, PTResult, geometric_ladder, pt_chain

@@ -841,7 +841,6 @@ def sharded_vi(
     from ..core.rng import chain_keys
     from ..inference.vi import (
         FullRankGuide,
-        MeanFieldGuide,
         UnconstrainedMeanFieldGuide,
         VIConfig,
         _drive_vi,

@@ -144,3 +144,88 @@ def test_js_client_methods_match_service():
     registered = set(svc.methods)
     assert called <= registered, called - registered
     assert registered - called <= {"methods"}, registered - called
+
+
+def test_nuts_session_rpc():
+    svc = FugueService()
+    m = svc.handle({"method": "compile", "params": {
+        "source": 'let mu <- sample("mu", normal(0.0, 2.0));'
+                  'for i in 0..3 { observe(("y", i), normal(mu, 1.0), ys[i]); }'
+                  'return mu;',
+        "data": {"ys": [1.0, 1.2, 0.8]},
+    }})
+    mid = m["result"]["model_id"]
+    s = svc.handle({"method": "nuts.new", "params": {
+        "model_id": mid, "warmup": 30}})
+    sid = s["result"]["session_id"]
+    assert s["result"]["step_size"] > 0
+    out = svc.handle({"method": "nuts.step", "params": {
+        "session_id": sid, "recorded": True}})["result"]
+    assert out["n_leapfrog"] == len(out["trajectory"])
+    assert all(np.isfinite(h) for h in out["hamiltonians"])
+    out2 = svc.handle({"method": "nuts.set", "params": {
+        "session_id": sid, "step_size": 0.3}})["result"]
+    assert out2["step_size"] == 0.3
+    # a short run concentrates on the conjugate posterior mean 3.0/3.25
+    vals = [svc.handle({"method": "nuts.step", "params": {
+        "session_id": sid}})["result"]["position"][0] for _ in range(200)]
+    assert abs(float(np.mean(vals[50:])) - 3.0 / 3.25) < 0.25
+
+
+def test_chees_session_rpc():
+    svc = FugueService()
+    m = svc.handle({"method": "compile", "params": {
+        "source": 'let mu <- sample("mu", normal(0.0, 2.0));'
+                  'for i in 0..3 { observe(("y", i), normal(mu, 1.0), ys[i]); }'
+                  'return mu;',
+        "data": {"ys": [1.0, 1.2, 0.8]},
+    }})
+    mid = m["result"]["model_id"]
+    s = svc.handle({"method": "chees.new", "params": {
+        "model_id": mid, "n_chains": 32, "n_warmup": 150}})["result"]
+    assert s["trajectory_length"] > 0
+    out = svc.handle({"method": "chees.step", "params": {
+        "session_id": s["session_id"], "n": 40}})["result"]
+    assert len(out["positions"]) == 32
+    # after 40 frozen-kernel steps the cloud sits on the posterior
+    cloud = np.asarray(out["positions"]).ravel()
+    assert abs(cloud.mean() - 3.0 / 3.25) < 0.3
+
+
+def test_hmc_sharded_rpc():
+    svc = FugueService()
+    m = svc.handle({"method": "compile", "params": {
+        "source": 'let mu <- sample("mu", normal(0.0, 2.0));'
+                  'for i in 0..3 { observe(("y", i), normal(mu, 1.0), ys[i]); }'
+                  'return mu;',
+        "data": {"ys": [1.0, 1.2, 0.8]},
+    }})
+    mid = m["result"]["model_id"]
+    out = svc.handle({"method": "hmc.sharded", "params": {
+        "model_id": mid, "n_samples": 300, "n_warmup": 300}})["result"]
+    assert out["n_devices"] == 8  # conftest's virtual CPU mesh
+    summ = out["summaries"]["mu"]
+    assert abs(summ["mean"][0] - 3.0 / 3.25) < 0.05
+    assert summ["r_hat"][0] < 1.05
+
+
+def test_live_explorable_source_compiles():
+    """The model source EMBEDDED in docs/explorables/live.html must compile
+    through the real service (r5: the shipped source used a '~' syntax the
+    DSL never supported, so the live demo failed at connect)."""
+    import html as html_mod
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    page = open(os.path.join(repo, "docs", "explorables", "live.html")).read()
+    m = re.search(r'<pre id="src">(.*?)</pre>', page, re.S)
+    assert m, "live.html must embed its model source in <pre id='src'>"
+    source = html_mod.unescape(m.group(1))
+    data_m = re.search(r"const DATA = (\{[^;]*\});", page)
+    assert data_m
+    data = json.loads(re.sub(r"(\w+):", r'"\1":', data_m.group(1)))
+    svc = FugueService()
+    out = svc.handle({"method": "compile",
+                      "params": {"source": source, "data": data}})
+    assert "result" in out, out
+    assert out["result"]["dim"] == 1
