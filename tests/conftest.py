@@ -60,16 +60,18 @@ if os.environ.get("FUGUE_COVERAGE") == "1":  # pragma: no cover
             json.dump({k: sorted(v) for k, v in _HITS.items()}, f)
 
 
-# -- suite wall-time watchlist (VERDICT r3 weak #6) ---------------------------
-# The suite crept from 682 s (r2) to 844 s (r3) at -n 2 with no monitoring.
-# This prints the slowest tests at session end and WARNS (never fails — the
-# 2-CPU box has high timing variance) when the per-worker wall time exceeds
-# the budget, so creep is visible in every run instead of discovered when a
-# timeout fires. Budget override: FUGUE_SUITE_BUDGET_S (0 disables).
+# -- suite wall-time gate (VERDICT r3 weak #6 / r4 weak #6) -------------------
+# The suite crept from 682 s (r2) to 844 s (r3) to 1015 s (r4) at -n 2 while
+# the watchlist only printed. It now has teeth: the run FAILS (exit status 1)
+# when any single test exceeds FUGUE_TEST_BUDGET_S (default 75 s — headroom
+# over the 2-CPU box's timing variance; slowest legitimate test is ~46 s) or
+# the session wall exceeds FUGUE_SUITE_BUDGET_S (default 1100 s at -n 2).
+# Set either to 0 to disable (e.g. single-test debugging under a profiler).
 import time as _time
 
 _SESSION_T0 = _time.perf_counter()
 _DURATIONS: list = []
+_GATE_FAILED = False
 
 
 def pytest_runtest_logreport(report):
@@ -77,9 +79,34 @@ def pytest_runtest_logreport(report):
         _DURATIONS.append((report.duration, report.nodeid))
 
 
-def pytest_terminal_summary(terminalreporter):
-    budget = float(os.environ.get("FUGUE_SUITE_BUDGET_S", 1200))
+def _gate_violations():
+    """(messages, failed) for the current duration set — called from both
+    the summary printer and the exit-status hook so ordering between the
+    two pytest hooks does not matter."""
+    suite_budget = float(os.environ.get("FUGUE_SUITE_BUDGET_S", 1100))
+    test_budget = float(os.environ.get("FUGUE_TEST_BUDGET_S", 75))
     wall = _time.perf_counter() - _SESSION_T0
+    msgs = []
+    if test_budget:
+        for d, n in _DURATIONS:
+            if d > test_budget:
+                msgs.append(
+                    f"  FAIL: {n} took {d:.0f}s > {test_budget:.0f}s "
+                    f"per-test budget (FUGUE_TEST_BUDGET_S) - split or "
+                    f"shrink it"
+                )
+    # only gate the suite wall on full runs: a -k selection under a
+    # debugger shouldn't trip it, and partial runs can't judge the wall
+    if suite_budget and len(_DURATIONS) > 100 and wall > suite_budget:
+        msgs.append(
+            f"  FAIL: worker wall {wall:.0f}s exceeds the "
+            f"{suite_budget:.0f}s budget (FUGUE_SUITE_BUDGET_S) - trim "
+            f"the watchlist before adding more tests"
+        )
+    return msgs
+
+
+def pytest_terminal_summary(terminalreporter):
     slow = sorted(_DURATIONS, reverse=True)[:10]
     if not slow:
         return
@@ -87,9 +114,14 @@ def pytest_terminal_summary(terminalreporter):
     tw.section("fugue_tpu slow-test watchlist")
     for dur, nodeid in slow:
         tw.write_line(f"  {dur:7.1f}s  {nodeid}")
-    if budget and wall > budget:
-        tw.write_line(
-            f"  WARNING: worker wall {wall:.0f}s exceeds the "
-            f"{budget:.0f}s budget (FUGUE_SUITE_BUDGET_S) - trim the "
-            f"watchlist above before adding more tests"
-        )
+    for msg in _gate_violations():
+        tw.write_line(msg)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # flipping session.exitstatus on the controller is the supported way to
+    # fail the run from a summary-time gate (VERDICT r4 weak #6: teeth)
+    if getattr(session.config, "workerinput", None) is not None:
+        return  # xdist worker: only the controller judges the suite
+    if _gate_violations() and session.exitstatus == 0:
+        session.exitstatus = 1
