@@ -695,13 +695,17 @@ def _logistic_stats(w_true):
     coordinates, coefficient error normalized by the POSTERIOR SD of each
     coordinate (the calibrated gate: the posterior mean sits within ~1 sd
     of the truth by construction), and the divergence rate."""
-    from fugue_tpu.inference.mcmc_utils import split_r_hat
+    from fugue_tpu.inference.mcmc_utils import ess_multichain, split_r_hat
 
     return jax.jit(lambda ws, divs: (
         jnp.max(jax.vmap(split_r_hat, in_axes=2)(ws[:, :, ::16])),
         jnp.mean(jnp.abs(jnp.mean(ws, axis=(0, 1)) - w_true)
                  / jnp.std(ws.reshape(-1, ws.shape[-1]), axis=0)),
         jnp.mean(divs.astype(jnp.float32)),
+        # min multichain ESS over the strided coordinate sample — the
+        # numerator of the cross-engine ESS/grad comparison (VERDICT r4
+        # next #3 done-condition)
+        jnp.min(jax.vmap(ess_multichain, in_axes=2)(ws[:, :, ::16])),
     ))
 
 
@@ -744,7 +748,7 @@ def bench_scale_logistic():
 
     run(0)  # compile
     t0 = time.perf_counter()
-    rhat, err_sd, div, eps = run(1)
+    rhat, err_sd, div, ess_min, eps = run(1)
     elapsed = time.perf_counter() - t0
     n_grad = (NW + NS) * (L + 1)
     # useful (f32-equivalent) FLOPs: fwd (C,D)@(D,N) + bwd, 2*C*N*D each;
@@ -770,6 +774,10 @@ def bench_scale_logistic():
         "max_rhat_sampled": round(rhat, 4),
         "divergence_rate": round(div, 5),
         "mean_coef_err_in_posterior_sd": round(err_sd, 4),
+        "min_ess_sampled": round(ess_min, 1),
+        # min sampled ESS per WHOLE-RUN grad-eval per chain (warmup
+        # included: the practical cost) — consistent across the scale rows
+        "ess_per_grad": round(ess_min / n_grad, 6),
         "step_size": eps,
         "adaptive": True,
     }
@@ -801,7 +809,7 @@ def bench_scale_nuts():
 
     run(0)  # compile
     t0 = time.perf_counter()
-    rhat, err_sd, div, eps, depth, n_leaps = run(1)
+    rhat, err_sd, div, ess_min, eps, depth, n_leaps = run(1)
     elapsed = time.perf_counter() - t0
     # EXACT leapfrog count from the in-kernel counter (+1 trajectory-root
     # value+grad per transition) — no 2^depth approximation (VERDICT r4)
@@ -821,6 +829,61 @@ def bench_scale_nuts():
         "max_rhat_sampled": round(rhat, 4),
         "divergence_rate": round(div, 5),
         "mean_coef_err_in_posterior_sd": round(err_sd, 4),
+        "min_ess_sampled": round(ess_min, 1),
+        "ess_per_grad": round(ess_min / (grad_evals / C), 6),
+        "step_size": eps,
+        "adaptive": True,
+    }
+
+
+def bench_scale_chees():
+    """ChEES-HMC with the SNAPER criterion on the d=1024 logistic target
+    (VERDICT r4 weak #1 / next #3 done-condition: a scale-tier ChEES row
+    with R-hat < 1.01 and ESS/grad >= the fixed-L HMC row). The plain
+    "chees" criterion dephases on this N >> d posterior and collapses T to
+    ~1-2 leapfrogs (r4 measured landscape); "snaper" projects the criterion
+    onto the online-estimated leading principal direction and keeps a sharp
+    optimum (inference/chees.py). Grad-evals counted EXACTLY in-kernel."""
+    from fugue_tpu.inference.chees import ChEESConfig, chees_chain
+
+    staged, w_true, m, D, N, C = _logistic_setup()
+    NW, NS = 300, 128
+    cfg = ChEESConfig(criterion="snaper")
+    stats = _logistic_stats(w_true)
+
+    def run(i):
+        r = chees_chain(jax.random.fold_in(jax.random.PRNGKey(47), i),
+                        n_samples=NS, n_warmup=NW, n_chains=C,
+                        config=cfg, staged=staged,
+                        init_position=m.z, init_jitter=0.05)
+        vals = [float(x) for x in stats(
+            jnp.asarray(r.samples["w"]), jnp.asarray(r.divergences))]
+        return vals + [r.step_size, r.trajectory_length,
+                       r.mean_leapfrog, float(r.n_leapfrogs)]
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    rhat, err_sd, div, ess_min, eps, T, mean_L, n_leaps = run(1)
+    elapsed = time.perf_counter() - t0
+    grad_evals = n_leaps + C * (NW + NS)  # +1 trajectory-root grad each
+    rate = grad_evals / elapsed
+    roof = _logistic_roofline(C, N, D)
+    ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
+    return {
+        "submetric": "scale_chees_snaper_d1024_grad_evals_per_sec",
+        "value": round(rate, 1),
+        "unit": "grad-evals/s (exact in-kernel count)",
+        "vs_baseline": round(rate * ref_grad_sec, 1),
+        "wall_s": round(elapsed, 3),
+        "pct_of_analytic_roofline": round(100 * rate / roof, 1),
+        "max_rhat_sampled": round(rhat, 4),
+        "divergence_rate": round(div, 5),
+        "mean_coef_err_in_posterior_sd": round(err_sd, 4),
+        "min_ess_sampled": round(ess_min, 1),
+        "ess_per_grad": round(ess_min / (grad_evals / C), 6),
+        "trajectory_length": round(T, 4),
+        "mean_leapfrog": round(mean_L, 2),
+        "criterion": "snaper",
         "step_size": eps,
         "adaptive": True,
     }
@@ -1011,6 +1074,7 @@ def main():
         ("abc", bench_abc),
         ("scale_logistic", bench_scale_logistic),
         ("scale_nuts", bench_scale_nuts),
+        ("scale_chees", bench_scale_chees),
         ("scale_densemass", bench_scale_densemass),
         ("scale_plate", bench_scale_plate),
         ("vi_scale", bench_vi_scale),

@@ -128,6 +128,10 @@ class ChEESResult:
     # (see ChEESConfig.max_trajectory_periods)
     trajectory_cap_reached: bool
     mean_leapfrog: float  # average steps per post-warmup transition
+    # EXACT total leapfrog (gradient-eval) count over warmup + sampling,
+    # summed across all chains (counted in-kernel; add one batched grad per
+    # transition for the trajectory-initial gradient)
+    n_leapfrogs: int
     inv_mass: Any
     final_positions: Any
 
@@ -377,7 +381,7 @@ def make_chees_drive(
         def make_warm_body(log_t_cap):
             def warm_body(carry, xs):
                 (Q, da, logT, logT_bar, adam, welford, inv_mass,
-                 u, z) = carry
+                 u, z, wl) = carry
                 k, h, it = xs
                 eps = jnp.exp(da.log_eps) if config.adapt_step_size else eps0
                 T = jnp.exp(logT)
@@ -412,7 +416,7 @@ def make_chees_drive(
                     u_new, z_new = u, z
                 return (
                     Q_out, da_new, logT_new, logT_bar_new, adam_new,
-                    welford_new, inv_mass, u_new, z_new,
+                    welford_new, inv_mass, u_new, z_new, wl + L,
                 ), cmean(ap)
 
             return warm_body
@@ -422,6 +426,7 @@ def make_chees_drive(
         carry = (
             q0, da0, logT0, logT0, AdamState.init(),
             WelfordState.init(d), inv_mass0, u0, u0,
+            jnp.zeros((), jnp.int32),
         )
         # First warmup half (skipped entirely when n_half == 0, e.g.
         # n_warmup == 1, so exactly n_warmup transitions run and the halton
@@ -444,7 +449,8 @@ def make_chees_drive(
                 jnp.arange(n_half),
             )
             carry, _ = jax.lax.scan(make_warm_body(inf_cap), carry, xs1)
-            Q1, da1, logT1, logT_bar1, adam1, welford1, _, u1, z1 = carry
+            (Q1, da1, logT1, logT_bar1, adam1, welford1, _, u1, z1,
+             wl1) = carry
             if config.adapt_mass:
                 if chain_axis is not None:
                     welford1 = welford_merge_across(welford1, chain_axis)
@@ -462,7 +468,7 @@ def make_chees_drive(
                 inv_mass1 = inv_mass0
             carry = (
                 Q1, da1, logT1, logT_bar1, adam1,
-                WelfordState.init(d), inv_mass1, u1, z1,
+                WelfordState.init(d), inv_mass1, u1, z1, wl1,
             )
         n_rest = n_warmup - n_half
         if n_rest > 0:
@@ -474,7 +480,8 @@ def make_chees_drive(
             cap2 = post_mass_cap if config.adapt_mass else inf_cap
             carry, _ = jax.lax.scan(make_warm_body(cap2), carry, xs2)
 
-        Q_w, da_w, logT_w, logT_bar_w, _, _, inv_mass_f, _, _ = carry
+        (Q_w, da_w, logT_w, logT_bar_w, _, _, inv_mass_f, _, _,
+         warm_leaps) = carry
         # adaptation off -> the configured eps (da.log_eps is updated by the
         # shared warmup body regardless; see hmc.make_hmc_drive)
         eps_f = (
@@ -503,7 +510,13 @@ def make_chees_drive(
         )
         Q_f, (qs, ljs, aps, divs, Ls) = jax.lax.scan(sample_body, Q_w, xs_s)
         mean_L = jnp.mean(Ls.astype(dt))
-        return Q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f
+        # EXACT total leapfrogs over warmup + sampling, all (local) chains:
+        # every chain runs the same shared L each iteration (lock-step)
+        n_leaps = (warm_leaps + jnp.sum(Ls)) * n_chains
+        if chain_axis is not None:
+            n_leaps = jax.lax.psum(n_leaps, chain_axis)
+        return (Q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f,
+                n_leaps)
 
     return drive
 
@@ -592,7 +605,8 @@ def chees_chain(
     )
     k_init, k_eps, k_run = jax.random.split(jax.random.fold_in(key, 29), 3)
     if mode == "resume":
-        q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = inner(
+        (q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f,
+         n_leaps) = inner(
             q_resume, k_eps, k_run,
             jnp.asarray(resume.step_size, dt),
             jnp.asarray(resume.trajectory_length, dt),
@@ -607,7 +621,8 @@ def chees_chain(
                                    init_jitter)
         else:
             q0 = initial_positions(staged, k_init, n_chains, config.init)
-        q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = inner(
+        (q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f,
+         n_leaps) = inner(
             q0, k_eps, k_run, *data
         )
     positions = jnp.moveaxis(qs, 0, 1)  # (chains, samples, d)
@@ -627,6 +642,7 @@ def chees_chain(
             and T_float >= t_cap * (1.0 - 1e-5)
         ),
         mean_leapfrog=float(np.asarray(mean_L)),
+        n_leapfrogs=int(np.asarray(n_leaps)),
         inv_mass=inv_mass_f,
         final_positions=q_f,
     )

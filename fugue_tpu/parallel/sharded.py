@@ -342,6 +342,7 @@ def sharded_chees_chain(
                 P(),                     # T_final (consensus, replicated)
                 P(),                     # mean leapfrog count (replicated)
                 P(None,),                # inv_mass (replicated)
+                P(),                     # n_leapfrogs (psum'd, replicated)
             ),
         )
         return jax.jit(mapped)
@@ -351,7 +352,8 @@ def sharded_chees_chain(
          chain_axes, _sharded_discrete_key(discrete)),
         build_mapped,
     )
-    q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f = jit_mapped(
+    (q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f,
+     n_leaps) = jit_mapped(
         q0, k_eps, k_run, *data
     )
 
@@ -371,6 +373,7 @@ def sharded_chees_chain(
             and T_float >= t_cap * (1.0 - 1e-5)
         ),
         mean_leapfrog=float(np.asarray(mean_L)),
+        n_leapfrogs=int(np.asarray(n_leaps)),
         inv_mass=inv_mass_f,
         final_positions=q_f,
     )

@@ -26,6 +26,7 @@ def main():
     for name, fn in [
         ("scale_logistic", bench.bench_scale_logistic),
         ("scale_nuts", bench.bench_scale_nuts),
+        ("scale_chees", bench.bench_scale_chees),
         ("scale_densemass", bench.bench_scale_densemass),
         ("scale_plate", bench.bench_scale_plate),
         ("vi_scale", bench.bench_vi_scale),

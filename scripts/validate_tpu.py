@@ -8,7 +8,7 @@ parity) plus posterior-moment gates for EVERY gradient/particle engine on
 the production f32 path, writing benchmarks/VALIDATE_TPU.json.
 
 Run exclusively (no other python process may touch the chip):
-    timeout 550 python scripts/validate_tpu.py
+    timeout 900 python scripts/validate_tpu.py
 """
 import json
 import os
@@ -213,6 +213,106 @@ def main():
         "passed": bool(abs(wm - post_m) < 0.15),
         "weighted_mean_err": round(abs(wm - post_m), 4),
         "n_attempts": int(rs.n_attempts),
+    }
+
+    # 3c) the three engines that had never passed a chip gate (VERDICT r4
+    #     missing #3): Gibbs (mixed discrete/continuous), dynamic-MH
+    #     (RJMCMC two-model posterior odds), MAP/Laplace (curvature +
+    #     evidence) — all against closed forms, on the production f32 path.
+    from fugue_tpu.inference.gibbs import gibbs_chain
+
+    def gibbs_model():
+        heads = ft.sample("heads", ft.Bernoulli(0.5))
+        mu = ft.sample("mu", ft.Normal(jnp.where(heads, 1.0, -1.0), 1.0))
+        ft.observe("yg", ft.Normal(mu, 0.5), jnp.array([1.1, 0.9, 1.2]))
+
+    rg = gibbs_chain(jax.random.PRNGKey(13), gibbs_model, n_samples=1500,
+                     n_warmup=500, n_chains=32)
+    y_g = np.array([1.1, 0.9, 1.2], np.float64)
+    cov_g = 0.25 * np.eye(3) + np.ones((3, 3))
+    zp = st.multivariate_normal(mean=np.ones(3), cov=cov_g).pdf(y_g)
+    zm = st.multivariate_normal(mean=-np.ones(3), cov=cov_g).pdf(y_g)
+    heads_post = zp / (zp + zm)
+    # conditional mu posteriors: precision 1 + 3/0.25 = 13
+    mu_plus = (1.0 + y_g.sum() / 0.25) / 13.0
+    mu_minus = (-1.0 + y_g.sum() / 0.25) / 13.0
+    mu_post = heads_post * mu_plus + (1 - heads_post) * mu_minus
+    heads_hat = float(np.asarray(rg.samples["heads"], np.float64).mean())
+    mu_hat = float(np.asarray(rg.samples["mu"], np.float64).mean())
+    results["gibbs_f32"] = {
+        "passed": bool(abs(heads_hat - heads_post) < 0.03
+                       and abs(mu_hat - mu_post) < 0.05
+                       and np.isfinite(mu_hat)),
+        "heads_err": round(abs(heads_hat - heads_post), 4),
+        "mu_err": round(abs(mu_hat - mu_post), 4),
+    }
+
+    from fugue_tpu.inference.mh_dynamic import adaptive_mcmc_chain_dynamic
+
+    y_obs = 2.4
+
+    def trans_model():
+        use_b = ft.sample("use_b", ft.Bernoulli(0.3))
+        a = ft.sample("a", ft.Normal(0.0, 1.0))
+        if bool(np.asarray(use_b)):
+            b = ft.sample("b", ft.Normal(0.0, 1.0))
+            mean = a + b
+        else:
+            mean = a
+        ft.observe("yt", ft.Normal(mean, 0.5), jnp.asarray(y_obs))
+
+    z0 = st.norm(0, np.sqrt(1.25)).pdf(y_obs)
+    z1 = st.norm(0, np.sqrt(2.25)).pdf(y_obs)
+    post_use_b = 0.3 * z1 / (0.3 * z1 + 0.7 * z0)
+    # sized for the relayed chip: this engine is a HOST loop over traces
+    # (genuinely trans-dimensional structure cannot be staged), so each
+    # transition costs relay round trips — measured 226 ms/transition
+    # (probe_dynmh_chip, r5), i.e. 2,000 transitions ~= 7.5 min. Structure
+    # mixing is slow (presence-err spread 0.00-0.09 over seeds at this
+    # length, measured on CPU), so the tolerance is 0.12: this gate exists
+    # to catch f32 catastrophes (NaN weights, systematically wrong odds);
+    # the sharp 0.05 gate at 12k transitions runs in the x64 CPU suite
+    # (tests/test_mh_dynamic.py::test_transdimensional_model_selection).
+    rd = adaptive_mcmc_chain_dynamic(
+        jax.random.PRNGKey(1), trans_model, n_samples=1600, n_warmup=400)
+    freq = float(rd.presence("b").mean())
+    results["dynamic_mh_f32"] = {
+        "passed": bool(abs(freq - post_use_b) < 0.12
+                       and rd.birth_count > 0 and rd.death_count > 0),
+        "presence_err": round(abs(freq - post_use_b), 4),
+        "births": int(rd.birth_count), "deaths": int(rd.death_count),
+    }
+
+    from scipy.special import betaln as sp_betaln
+
+    from fugue_tpu.inference.map_laplace import (
+        MAPConfig, laplace_approximation, map_estimate,
+    )
+
+    # curvature: conjugate Normal target (Gaussian — Laplace is exact)
+    rm = map_estimate(jax.random.PRNGKey(15), staged=staged,
+                      config=MAPConfig(n_iterations=300, optimizer="lbfgs"))
+    la = laplace_approximation(rm)
+    map_err = abs(float(np.asarray(rm.z)[0]) - post_mean)
+    cov_err = abs(float(np.asarray(la.cov)[0, 0]) - post_var) / post_var
+    # evidence: Beta-Bernoulli Laplace vs exact B(9,5)/B(2,2)
+    flips_ml = [1.0] * 7 + [0.0] * 3
+
+    def coin_ml():
+        p = ft.sample("p", ft.Beta(2.0, 2.0))
+        for i, yv in enumerate(flips_ml):
+            ft.observe(ft.addr("flip", i), ft.Bernoulli(p), yv)
+
+    rm2 = map_estimate(jax.random.PRNGKey(16), coin_ml,
+                       MAPConfig(n_iterations=300, optimizer="lbfgs"))
+    la2 = laplace_approximation(rm2)
+    exact_ev = float(sp_betaln(9, 5) - sp_betaln(2, 2))
+    ev_err = abs(float(la2.log_evidence) - exact_ev)
+    results["map_laplace_f32"] = {
+        "passed": bool(map_err < 0.02 and cov_err < 0.05 and ev_err < 0.08),
+        "map_err": round(map_err, 5),
+        "cov_rel_err": round(cov_err, 5),
+        "log_evidence_abs_err": round(ev_err, 5),
     }
 
     # 4) simulation-based calibration on the f32 path: the strongest gate —

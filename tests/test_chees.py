@@ -429,3 +429,17 @@ def test_oja_update_f32_inf_rows_masked():
                         jnp.float32)
     assert np.allclose(np.asarray(u2), u, atol=1e-6)
     assert np.isfinite(np.asarray(z2)).all()
+
+
+def test_chees_n_leapfrogs_counted():
+    """ChEESResult.n_leapfrogs: exact in-kernel warmup+sampling count,
+    summed over chains (same discipline as NUTSResult.n_leapfrogs)."""
+    def model():
+        ft.sample("x", ft.Normal(0.0, 1.0), sample_shape=(3,))
+
+    res = chees_chain(jax.random.PRNGKey(0), model, n_samples=80,
+                      n_warmup=60, n_chains=8)
+    total_tr = 8 * 140
+    assert res.n_leapfrogs >= total_tr  # >= 1 leapfrog per transition
+    # sampling-phase portion must be consistent with the recorded mean
+    assert res.n_leapfrogs >= int(8 * 80 * res.mean_leapfrog) - 1
