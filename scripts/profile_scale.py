@@ -48,7 +48,7 @@ def main():
 
     t_all = time.perf_counter()
     staged, w_true, m, D, N, C = bench._logistic_setup()
-    X, y = staged.data_leaves()
+    X, y = staged.data_leaves(0)  # X (>=1MiB) AND the small y vector
     dt = jnp.float32
     roof_rate = bench._logistic_roofline(C, N, D)  # grad-evals/s ceiling
 
