@@ -312,7 +312,8 @@ def bench_chees():
     trans_rate = n_chains * (n_warmup + n_samples) / elapsed
     # same derived finite-difference baseline as NUTS, at OUR mean step count
     ref_rate = 1.0 / ((mean_L + 1) * 2 * d * REF_MODEL_RUN_SEC * (d / 20.0))
-    grad_evals = n_chains * (n_warmup + n_samples) * (mean_L + 1)
+    # EXACT in-kernel leapfrog count (+1 initial grad per transition)
+    grad_evals = res.n_leapfrogs + n_chains * (n_warmup + n_samples)
     return {
         "submetric": "chees_ess_per_sec_eight_schools_1024chains",
         "value": round(ess / elapsed, 1),
