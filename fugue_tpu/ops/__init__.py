@@ -1,5 +1,11 @@
 """TPU array-program building blocks: resampling, linalg, Pallas probes."""
 
-from .linalg import matmul_bf16, matmul_bf16x2, matvec_bf16
+from .linalg import (
+    matmul_bf16,
+    matmul_bf16x2,
+    matmul_bf16x2_fastgrad,
+    matvec_bf16,
+)
 
-__all__ = ["matmul_bf16", "matmul_bf16x2", "matvec_bf16"]
+__all__ = ["matmul_bf16", "matmul_bf16x2", "matmul_bf16x2_fastgrad",
+           "matvec_bf16"]

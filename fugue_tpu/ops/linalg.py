@@ -99,3 +99,44 @@ def _mm_bwd(res, g):
 
 
 matmul_bf16x2.defvjp(_mm_fwd, _mm_bwd)
+
+
+@jax.custom_vjp
+def matmul_bf16x2_fastgrad(a, w):
+    """Same split-precision FORWARD as ``matmul_bf16x2`` (smooth potential
+    — the property HMC dual averaging needs), but a single-pass bf16
+    BACKWARD: the cotangent is bf16-rounded once instead of hi/lo split.
+
+    Why this is sound for MCMC: the backward feeds the leapfrog FORCE only
+    — an approximate-force trajectory is still a valid MH proposal because
+    acceptance uses the exact (split-precision) potential at the endpoints;
+    force error only costs a little acceptance, never bias. For a GLM
+    residual cotangent (elements O(1)), bf16 rounding is ~4e-3 relative
+    per element and the f32-accumulated contraction over N rows averages
+    it to ~4e-3/sqrt(N) on the gradient (~1e-5 at N=1e4) — far below the
+    thermal force scale. Cost: 3 MXU passes per value+grad instead of 4
+    (measured r5 ladder: the gradient kernel IS the whole cost of the
+    at-scale drive — benchmarks/PROFILE_SCALE.json, L1 ~= L3).
+
+    Use ``matmul_bf16x2`` when the gradient itself is the deliverable
+    (MAP/Laplace curvature, VI pathwise gradients at convergence)."""
+    return matmul_bf16x2(a, w)
+
+
+def _mmf_fwd(a, w):
+    return matmul_bf16x2(a, w), (a, w)
+
+
+def _mmf_bwd(res, g):
+    a, w = res
+    ab = a.astype(jnp.bfloat16)
+    gw = jnp.tensordot(ab, g.astype(jnp.bfloat16), axes=((0,), (0,)),
+                       preferred_element_type=jnp.float32)
+    if w.ndim == 1:
+        ga = g[..., :, None] * w[None, :]
+    else:
+        ga = jnp.matmul(g, w.T)
+    return ga.astype(a.dtype), gw.astype(w.dtype)
+
+
+matmul_bf16x2_fastgrad.defvjp(_mmf_fwd, _mmf_bwd)

@@ -89,18 +89,24 @@ def main():
         "what_it_adds": "fwd+bwd bf16 matmuls + sigmoid residual only",
     }
 
-    # L1: the production fused value_and_grad of the staged potential
-    vg = jax.vmap(jax.value_and_grad(lambda z: staged.potential(z, None)))
-
+    # L1: the production fused value_and_grad of the staged potential.
+    # Data flows in as TRACED arguments via bind_data — baked closure
+    # constants ship the 200 MB design matrix inside the remote compile
+    # payload and the relay rejects it (HTTP 413; CLAUDE.md discipline)
     @jax.jit
-    def l1(W):
-        def body(Wc, _):
-            u, g = vg(Wc)
-            return Wc - 1e-6 * g, ()
-        Wf, _ = jax.lax.scan(body, W, None, length=K0)
-        return jnp.sum(Wf)
+    def l1(W, *dl):
+        with staged.bind_data(dl, 0):
+            vg = jax.vmap(jax.value_and_grad(
+                lambda z: staged.potential(z, None)))
 
-    t = timed(l1, (W0,))
+            def body(Wc, _):
+                u, g = vg(Wc)
+                return Wc - 1e-6 * g, ()
+
+            Wf, _ = jax.lax.scan(body, W, None, length=K0)
+            return jnp.sum(Wf)
+
+    t = timed(l1, (W0, X, y))
     results["L1_staged_value_and_grad"] = {
         "grad_evals_per_sec": round(C * K0 / t, 1),
         "pct_of_roofline": round(100 * (C * K0 / t) / roof_rate, 1),
@@ -113,25 +119,28 @@ def main():
     from fugue_tpu.inference.hmc import leapfrog
 
     L = 16
-    grad_one = jax.grad(lambda z: staged.potential(z, None))
     im = jnp.ones((D,), dt)
 
     K2 = 8  # trajectories chained per call (amortizes the fetch)
 
     @jax.jit
-    def l2(W, P):
-        def body(carry, _):
-            Wc, Pc = carry
-            Q_new, P_new = jax.vmap(
-                lambda q, p: leapfrog(grad_one, q, p, jnp.asarray(0.2, dt),
-                                      L, im)
-            )(Wc, Pc)
-            return (Q_new, P_new), ()
-        (Wf, Pf), _ = jax.lax.scan(body, (W, P), None, length=K2)
-        return jnp.sum(Wf) + jnp.sum(Pf)
+    def l2(W, P, *dl):
+        with staged.bind_data(dl, 0):
+            grad_in = jax.grad(lambda z: staged.potential(z, None))
+
+            def body(carry, _):
+                Wc, Pc = carry
+                Q_new, P_new = jax.vmap(
+                    lambda q, p: leapfrog(grad_in, q, p,
+                                          jnp.asarray(0.2, dt), L, im)
+                )(Wc, Pc)
+                return (Q_new, P_new), ()
+
+            (Wf, Pf), _ = jax.lax.scan(body, (W, P), None, length=K2)
+            return jnp.sum(Wf) + jnp.sum(Pf)
 
     P0 = jnp.zeros((C, D), dt)
-    t = timed(l2, (W0, P0))
+    t = timed(l2, (W0, P0, X, y))
     results["L2_leapfrog_scan"] = {
         "grad_evals_per_sec": round(C * K2 * (L + 1) / t, 1),
         "pct_of_roofline": round(

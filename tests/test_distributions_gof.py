@@ -346,3 +346,32 @@ def test_matmul_bf16x2_precision_and_exact_vjp():
     W = jnp.asarray(rng.normal(0, 1, (8, 64)), jnp.float32)
     out = jax.vmap(lambda ww: matmul_bf16x2(A, ww))(W)
     assert out.shape == (8, 2000)
+
+
+def test_matmul_bf16x2_fastgrad_forward_exact_grad_close():
+    """ops.matmul_bf16x2_fastgrad: identical split-precision FORWARD (the
+    smoothness property), single-pass bf16 backward whose gradient stays
+    within ~bf16-eps/sqrt(N) relative of the exact one (the cotangent
+    rounding averages out over the f32-accumulated contraction)."""
+    from fugue_tpu.ops import matmul_bf16x2, matmul_bf16x2_fastgrad
+
+    rng = np.random.default_rng(1)
+    N, d = 4000, 64
+    A = jnp.asarray(rng.normal(0, 1, (N, d)) / 8, jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, d), jnp.float32)
+    # forward bit-identical to the exact-VJP op
+    np.testing.assert_array_equal(
+        np.asarray(matmul_bf16x2_fastgrad(A, w)),
+        np.asarray(matmul_bf16x2(A, w)),
+    )
+
+    def loss(op, ww):
+        return jnp.sum(jnp.tanh(op(A, ww)))
+
+    g_fast = np.asarray(jax.grad(lambda ww: loss(
+        matmul_bf16x2_fastgrad, ww))(w), np.float64)
+    g_ref = np.asarray(jax.grad(lambda ww: loss(
+        matmul_bf16x2, ww))(w), np.float64)
+    rel = np.abs(g_fast - g_ref).max() / np.abs(g_ref).max()
+    # bf16 cotangent rounding ~4e-3/element, averaged over N=4000 rows
+    assert rel < 2e-3, rel
