@@ -662,7 +662,7 @@ def _logistic_setup():
     whole warmup budget re-finding the typical set)."""
     import fugue_tpu as ft
     from fugue_tpu.inference.map_laplace import MAPConfig, map_estimate
-    from fugue_tpu.ops import matmul_bf16x2
+    from fugue_tpu.ops import matmul_bf16x2_fastgrad
 
     D, N, C = 1024, 100_000, 256
     kx, kw, ky = jax.random.split(jax.random.PRNGKey(99), 3)
@@ -680,8 +680,12 @@ def _logistic_setup():
     X, w_true, y = gen()
 
     def model(Xd, yd):
+        # fastgrad: split-precision forward (smooth potential), single-pass
+        # bf16 backward — measured 1.21x the grad-eval rate at IDENTICAL
+        # acceptance/R-hat/coef-error (benchmarks/FASTGRAD_PROBE.json, r5)
         w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
-        ft.observe("y", ft.BernoulliLogits(matmul_bf16x2(Xd, w)), yd)
+        ft.observe("y", ft.BernoulliLogits(
+            matmul_bf16x2_fastgrad(Xd, w)), yd)
 
     staged = ft.stage(model, X, y)
     m = map_estimate(
@@ -713,13 +717,14 @@ def _logistic_stats(w_true):
 def _logistic_roofline(C, N, D):
     """ANALYTIC per-grad-eval roofline (VERDICT r3 weak #7: the old
     empirical probe chain was slower than the fused drive, reporting >100%
-    'of roofline'). The potential gradient is 4 bf16 (C,D)x(D,N)-class
-    matmuls (split-precision: 2 fwd + 2 bwd), so per batched grad step:
-    MXU time = 8*C*N*D / peak-bf16; HBM time = 4 reads of the bf16 X
-    (w/logits traffic amortizes over the C=256 batch). The ceiling is their
-    max; by construction achieved/roofline <= 1."""
-    hw_flops = 8 * C * N * D
-    hbm_bytes = 4 * N * D * 2
+    'of roofline'). With matmul_bf16x2_fastgrad the potential gradient is
+    3 bf16 (C,D)x(D,N)-class matmuls (split-precision fwd: 2; single-pass
+    bwd: 1), so per batched grad step: MXU time = 6*C*N*D / peak-bf16;
+    HBM time = 3 reads of the bf16 X (w/logits traffic amortizes over the
+    C=256 batch). The ceiling is their max; by construction
+    achieved/roofline <= 1. Loss decomposition: PROFILE_SCALE.json."""
+    hw_flops = 6 * C * N * D
+    hbm_bytes = 3 * N * D * 2
     roof_s = max(hw_flops / V5E_PEAK_BF16_FLOPS,
                  hbm_bytes / V5E_HBM_BYTES_PER_S)
     return C / roof_s  # grad-evals/s ceiling
@@ -753,9 +758,10 @@ def bench_scale_logistic():
     elapsed = time.perf_counter() - t0
     n_grad = (NW + NS) * (L + 1)
     # useful (f32-equivalent) FLOPs: fwd (C,D)@(D,N) + bwd, 2*C*N*D each;
-    # the split-precision kernel executes 2x that in hardware bf16 flops
+    # the fastgrad kernel executes 1.5x that in hardware bf16 flops
+    # (split fwd = 2 passes, single-pass bwd)
     useful = 4 * C * N * D * n_grad / elapsed
-    hardware = 2 * useful
+    hardware = 1.5 * useful
     roof = _logistic_roofline(C, N, D)
 
     ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
