@@ -282,7 +282,8 @@ def bench_nuts():
         "vs_baseline": round(trans_rate / ref_rate, 2),
         "wall_s": round(elapsed, 4),
         "transitions_per_sec": round(trans_rate, 1),
-        "mean_tree_depth": round(float(depths.mean()), 3),
+        "mean_tree_depth": round(
+            float(np.asarray(res.tree_depths).mean()), 3),
         "r_hat": round(float(split_r_hat(mus)), 5),
         "divergence_rate": round(float(np.asarray(res.divergences).mean()), 5),
         **extras,
