@@ -29,7 +29,6 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
 
 
 def main():
-    import bench
     from bench import _force
 
     import fugue_tpu as ft

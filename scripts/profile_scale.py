@@ -33,7 +33,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     try:
@@ -44,7 +43,7 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
 
 def main():
     import bench
-    from bench import V5E_HBM_BYTES_PER_S, V5E_PEAK_BF16_FLOPS, _force
+    from bench import _force
 
     t_all = time.perf_counter()
     staged, w_true, m, D, N, C = bench._logistic_setup()
