@@ -11,7 +11,10 @@ that make large-d GLMs work on TPU:
 2. ``ops.matmul_bf16x2`` computes the linear predictor on the MXU in
    split bf16 precision with an exact custom VJP — bf16 data, ~f32
    parameter smoothness (plain bf16 parameter rounding makes the potential
-   rough and collapses step-size adaptation);
+   rough and collapses step-size adaptation); for pure MCMC drives,
+   ``ops.matmul_bf16x2_fastgrad`` keeps the split forward and drops the
+   backward's cotangent split — 1.21x the grad rate at identical sampling
+   quality (benchmarks/FASTGRAD_PROBE.json);
 3. ``BernoulliLogits`` is the saturation-free logistic likelihood;
 4. MAP (LBFGS on the same staged potential) warm-starts the chains —
    far-tail inits cost more warmup than the optimization does;
