@@ -694,7 +694,7 @@ def make_nuts_drive_async(
             q=q, u=u, g=g, ema=ema,
             da=da, welford=welford,
             remaining=jnp.asarray(1, jnp.int32),
-            leaps=jnp.zeros((), jnp.int32),
+            leaps=jnp.zeros((n_chains,), jnp.int32),
         )
 
         def body_iter(c, _):
@@ -728,8 +728,11 @@ def make_nuts_drive_async(
             remaining = psum_if_sharded(
                 jnp.sum(t2 < n_phase)
             ).astype(jnp.int32)
-            leaps2 = c["leaps"] + jnp.sum(
-                stats["active"].astype(jnp.int32)).astype(jnp.int32)
+            # per-chain elementwise counter: a cross-lane sum PER ITERATION
+            # measurably slowed the latency-bound small-d ring (eight-
+            # schools row wall +14%, r5); the reduction happens once at
+            # phase end instead
+            leaps2 = c["leaps"] + stats["active"].astype(jnp.int32)
             return dict(
                 S=S2, t=t2, q=q2, u=u2, g=g2, ema=ema2,
                 da=da2, welford=welford2, remaining=remaining,
@@ -745,7 +748,8 @@ def make_nuts_drive_async(
         )
         return (
             final["q"], final["u"], final["g"], final["ema"],
-            final["da"], final["welford"], final["leaps"],
+            final["da"], final["welford"],
+            jnp.sum(final["leaps"]).astype(jnp.int32),
         )
 
     def rescue_stuck(q, ema, k):
@@ -802,7 +806,7 @@ def make_nuts_drive_async(
             aps=jnp.zeros((n_samples, n_chains), dt),
             divs=jnp.zeros((n_samples, n_chains), bool),
             deps=jnp.zeros((n_samples, n_chains), jnp.int32),
-            leaps=jnp.zeros((), jnp.int32),
+            leaps=jnp.zeros((n_chains,), jnp.int32),
         )
 
         def body_iter(c, _):
@@ -845,8 +849,7 @@ def make_nuts_drive_async(
             divs = emit(c["divs"], jnp.take(ring_div, read, axis=1))
             deps = emit(c["deps"], jnp.take(ring_dep, read, axis=1))
             rows2 = c["rows"] + can.astype(jnp.int32)
-            leaps2 = c["leaps"] + jnp.sum(
-                stats["active"].astype(jnp.int32)).astype(jnp.int32)
+            leaps2 = c["leaps"] + stats["active"].astype(jnp.int32)
             return dict(
                 S=S2, t=t2, q=q2, u=u2, g=g2,
                 ring_q=ring_q, ring_a=ring_a, ring_div=ring_div,
@@ -863,7 +866,7 @@ def make_nuts_drive_async(
         )
         return (
             final["q"], final["qs"], final["aps"], final["divs"],
-            final["deps"], final["leaps"],
+            final["deps"], jnp.sum(final["leaps"]).astype(jnp.int32),
         )
 
     def drive(q0, k_eps, k_run, eps_over=None, inv_mass_over=None):
