@@ -898,9 +898,18 @@ def sharded_vi(
             g = _meanfield_guide_for(staged)
         else:
             raise ValueError(f"unknown guide {guide!r}")
-        t0 = max(config.n_iterations / 10.0, 1.0)
-        schedule = lambda t: config.learning_rate * jnp.power(1.0 + t / t0, -0.6)
-        tx = optax.adam(schedule)
+        # same optimizer selection as optimize_meanfield_vi (annealed Adam
+        # default, Robbins-Monro SGD when configured)
+        if config.optimizer == "adam":
+            t0 = max(config.n_iterations / 10.0, 1.0)
+            schedule = lambda t: config.learning_rate * jnp.power(
+                1.0 + t / t0, -0.6)
+            tx = optax.adam(schedule)
+        elif config.decay > 0:
+            tx = optax.sgd(lambda t: config.learning_rate * jnp.power(
+                t + 1.0, -config.decay))
+        else:
+            tx = optax.sgd(config.learning_rate)
         z_space = isinstance(g, (FullRankGuide, UnconstrainedMeanFieldGuide))
 
         def draw_parts(kk, p):
