@@ -277,6 +277,43 @@ def oja_update(Q_out, u, z, inv_mass, cmean, decay, dt):
     return u_new, z_new
 
 
+def chees_transition(pot_all, grad_all, Q, k, eps, T, h, inv_mass,
+                     max_leapfrog, max_delta_energy, dt):
+    """One jittered fixed-length ChEES transition for a (chains, d) batch —
+    the single implementation shared by ``make_chees_drive`` and
+    ``CheesSession`` (r5 review: two copies drifted apart is exactly the
+    f32-hardening failure mode this file documents).
+
+    Returns (Q_out, Q_prop, P_end, accept_prob, accepted, divergent, L)."""
+    n_chains, d = Q.shape
+    k_mom, k_acc = jax.random.split(k)
+    tau = h * T / eps
+    L = jnp.clip(
+        jnp.ceil(jnp.where(jnp.isfinite(tau), tau, 1.0)).astype(jnp.int32),
+        1, max_leapfrog,
+    )
+    P = jax.vmap(
+        lambda kk: mass_draw_momentum(kk, inv_mass, (d,), dt)
+    )(jax.random.split(k_mom, n_chains))
+    U0 = pot_all(Q)
+    K0 = jax.vmap(lambda p: mass_kinetic(inv_mass, p))(P)
+    Q_new, P_new = _batched_leapfrog_dyn(grad_all, Q, P, eps, L, inv_mass)
+    U1 = pot_all(Q_new)
+    K1 = jax.vmap(lambda p: mass_kinetic(inv_mass, p))(P_new)
+    delta = (U0 + K0) - (U1 + K1)
+    finite = jnp.isfinite(delta) & jnp.isfinite(U1)
+    divergent = (~finite) | (-delta > max_delta_energy)
+    accept_prob = jnp.where(
+        divergent, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
+    )
+    log_u = jnp.log(
+        jax.random.uniform(k_acc, (n_chains,), dt, 1e-38, 1.0)
+    )
+    accepted = (~divergent) & (log_u < delta)
+    Q_out = jnp.where(accepted[:, None], Q_new, Q)
+    return Q_out, Q_new, P_new, accept_prob, accepted, divergent, L
+
+
 def make_chees_drive(
     staged: StagedModel,
     config: ChEESConfig,
@@ -311,34 +348,10 @@ def make_chees_drive(
     )
 
     def transition(Q, k, eps, T, h, inv_mass):
-        """One jittered fixed-length transition for the whole batch.
-        Returns (Q_out, Q_prop, P_end, accept_prob, accepted, divergent, L)."""
-        k_mom, k_acc = jax.random.split(k)
-        tau = h * T / eps
-        L = jnp.clip(
-            jnp.ceil(jnp.where(jnp.isfinite(tau), tau, 1.0)).astype(jnp.int32),
-            1, config.max_leapfrog,
+        return chees_transition(
+            pot_all, grad_all, Q, k, eps, T, h, inv_mass,
+            config.max_leapfrog, config.max_delta_energy, dt,
         )
-        P = jax.vmap(
-            lambda kk: mass_draw_momentum(kk, inv_mass, (d,), dt)
-        )(jax.random.split(k_mom, n_chains))
-        U0 = pot_all(Q)
-        K0 = jax.vmap(lambda p: mass_kinetic(inv_mass, p))(P)
-        Q_new, P_new = _batched_leapfrog_dyn(grad_all, Q, P, eps, L, inv_mass)
-        U1 = pot_all(Q_new)
-        K1 = jax.vmap(lambda p: mass_kinetic(inv_mass, p))(P_new)
-        delta = (U0 + K0) - (U1 + K1)
-        finite = jnp.isfinite(delta) & jnp.isfinite(U1)
-        divergent = (~finite) | (-delta > config.max_delta_energy)
-        accept_prob = jnp.where(
-            divergent, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0)))
-        )
-        log_u = jnp.log(
-            jax.random.uniform(k_acc, (n_chains,), dt, 1e-38, 1.0)
-        )
-        accepted = (~divergent) & (log_u < delta)
-        Q_out = jnp.where(accepted[:, None], Q_new, Q)
-        return Q_out, Q_new, P_new, accept_prob, accepted, divergent, L
 
     def chees_grad(Q, Q_prop, P_end, accept_prob, h, inv_mass, proj=None):
         V_end = jax.vmap(lambda p: mass_velocity(inv_mass, p))(P_end)
@@ -510,13 +523,14 @@ def make_chees_drive(
         )
         Q_f, (qs, ljs, aps, divs, Ls) = jax.lax.scan(sample_body, Q_w, xs_s)
         mean_L = jnp.mean(Ls.astype(dt))
-        # EXACT total leapfrogs over warmup + sampling, all (local) chains:
-        # every chain runs the same shared L each iteration (lock-step)
-        n_leaps = (warm_leaps + jnp.sum(Ls)) * n_chains
-        if chain_axis is not None:
-            n_leaps = jax.lax.psum(n_leaps, chain_axis)
+        # EXACT PER-CHAIN leapfrog count over warmup + sampling — every
+        # chain (on every shard: eps/T are consensus values and the halton
+        # jitter is shared) runs the same L each iteration, so one int32
+        # scalar suffices; the x n_chains total happens on the HOST in
+        # Python ints so no configuration can wrap it (r5 review)
+        n_leaps_per_chain = warm_leaps + jnp.sum(Ls)
         return (Q_f, qs, ljs, aps, divs, eps_f, T_f, mean_L, inv_mass_f,
-                n_leaps)
+                n_leaps_per_chain)
 
     return drive
 
@@ -642,7 +656,7 @@ def chees_chain(
             and T_float >= t_cap * (1.0 - 1e-5)
         ),
         mean_leapfrog=float(np.asarray(mean_L)),
-        n_leapfrogs=int(np.asarray(n_leaps)),
+        n_leapfrogs=int(np.asarray(n_leaps, np.int64)) * n_chains,
         inv_mass=inv_mass_f,
         final_positions=q_f,
     )
@@ -702,33 +716,10 @@ class CheesSession:
         pot_all = jax.vmap(self.staged.potential)
 
         def _step(Q, k, eps, T, h, im):
-            k_mom, k_acc = jax.random.split(k)
-            tau = h * T / eps
-            L = jnp.clip(
-                jnp.ceil(jnp.where(jnp.isfinite(tau), tau, 1.0)
-                         ).astype(jnp.int32),
-                1, config.max_leapfrog,
+            Q_out, _, _, ap, _, divergent, L = chees_transition(
+                pot_all, grad_all, Q, k, eps, T, h, im,
+                config.max_leapfrog, config.max_delta_energy, dt,
             )
-            P = jax.vmap(
-                lambda kk: mass_draw_momentum(kk, im, (d,), dt)
-            )(jax.random.split(k_mom, n_chains))
-            U0 = pot_all(Q)
-            K0 = jax.vmap(lambda p: mass_kinetic(im, p))(P)
-            Q_new, P_new = _batched_leapfrog_dyn(grad_all, Q, P, eps, L, im)
-            U1 = pot_all(Q_new)
-            K1 = jax.vmap(lambda p: mass_kinetic(im, p))(P_new)
-            delta = (U0 + K0) - (U1 + K1)
-            finite = jnp.isfinite(delta) & jnp.isfinite(U1)
-            divergent = (~finite) | (-delta > config.max_delta_energy)
-            ap = jnp.where(
-                divergent, 0.0,
-                jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 50.0))),
-            )
-            log_u = jnp.log(
-                jax.random.uniform(k_acc, (n_chains,), dt, 1e-38, 1.0)
-            )
-            accepted = (~divergent) & (log_u < delta)
-            Q_out = jnp.where(accepted[:, None], Q_new, Q)
             return Q_out, ap, divergent, L
 
         self._jit_step = jax.jit(_step)

@@ -244,7 +244,7 @@ def sharded_nuts_chain(
                 P(None, ax_el),          # tree depths
                 P(),                     # eps_final (consensus, replicated)
                 P(None,) if config.mass != "dense" else P(None, None),
-                P(),                     # n_leapfrogs (psum'd, replicated)
+                P(ax_el),                # per-chain leapfrog counts
             ),
         )
         return jax.jit(mapped)
@@ -268,7 +268,7 @@ def sharded_nuts_chain(
         step_size=float(np.asarray(eps_final)),
         inv_mass=inv_mass_f,
         final_positions=q_f,
-        n_leapfrogs=int(np.asarray(n_leaps)),
+        n_leapfrogs=int(np.asarray(n_leaps, np.int64).sum()),
     )
 
 
@@ -373,7 +373,9 @@ def sharded_chees_chain(
             and T_float >= t_cap * (1.0 - 1e-5)
         ),
         mean_leapfrog=float(np.asarray(mean_L)),
-        n_leapfrogs=int(np.asarray(n_leaps)),
+        # per-chain scalar (consensus kernel: identical on every shard)
+        # x GLOBAL chain count, in host ints
+        n_leapfrogs=int(np.asarray(n_leaps, np.int64)) * n_chains,
         inv_mass=inv_mass_f,
         final_positions=q_f,
     )
@@ -865,24 +867,38 @@ def sharded_vi(
     # works if the plate actually flows in as a traced, shardable input
     data = staged.data_leaves(0)
 
+    # Identify the PLATE leaves: only array arguments whose leading axis
+    # equals the LARGEST leading axis are sharded; every other leaf (small
+    # per-latent constants, hyperparameter vectors) is replicated. Sharding
+    # every divisible leaf corrupted models whose non-plate constants
+    # happened to divide by the device count (r5 review finding: a (8,)
+    # prior-mean argument on an 8-device mesh silently became per-shard
+    # length-1 slices).
+    lead = [x.shape[0] for x in data if getattr(x, "ndim", 0) >= 1]
+    n_plate = max(lead, default=None)
+    plate_divides = n_plate is not None and n_plate % n_dev == 0
     if shard == "auto":
-        shard = "data" if data and all(
-            getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_dev == 0
-            for x in data
-        ) else "samples"
+        # engage data mode only for an unambiguous plate: the largest
+        # leading axis divides the shard count AND is plate-sized
+        # (>= 8 rows per shard)
+        shard = ("data" if plate_divides and n_plate >= 8 * n_dev
+                 else "samples")
     if shard == "data":
-        if not data:
+        if n_plate is None:
             raise ValueError(
                 "shard='data' needs at least one staged data leaf "
                 "(pass the dataset as a stage()/model_args argument)"
             )
-        for x in data:
-            if getattr(x, "ndim", 0) < 1 or x.shape[0] % n_dev:
-                raise ValueError(
-                    f"data leaf with shape {getattr(x, 'shape', ())} does "
-                    f"not split evenly over {n_dev} shards on axis 0"
-                )
-        data_specs = tuple(P(ax_el) for _ in data)
+        if not plate_divides:
+            raise ValueError(
+                f"largest data leaf axis 0 ({n_plate}) does not split "
+                f"evenly over {n_dev} shards"
+            )
+        data_specs = tuple(
+            P(ax_el) if (getattr(x, "ndim", 0) >= 1
+                         and x.shape[0] == n_plate) else P()
+            for x in data
+        )
     elif shard == "samples":
         data_specs = tuple(P() for _ in data)
     else:

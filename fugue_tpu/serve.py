@@ -308,7 +308,7 @@ class FugueService:
 
         sess = self._session(p, CheesSession)
         out = None
-        for _ in range(int(p.get("n", 1))):
+        for _ in range(max(1, int(p.get("n", 1)))):
             out = sess.step()
         return out
 

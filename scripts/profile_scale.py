@@ -1,7 +1,9 @@
 """Decompose the scale-tier roofline gap → benchmarks/PROFILE_SCALE.json.
 
 VERDICT r4 weak #2: the d=1024 HMC/NUTS rows report ~34-38% of the analytic
-max(MXU, HBM) roofline with no committed breakdown of the other ~62%. The
+max(MXU, HBM) roofline with no committed breakdown of the rest. The
+ladder measures whatever kernel + roofline bench.py currently defines, so
+the artifact always reproduces from this script (r5 review finding). The
 axon relay cannot run the XLA device profiler (the TPU runtime is remote),
 so this script decomposes the loss by a LADDER of measured programs, each
 adding one real component of the production drive, all timed with the
@@ -11,8 +13,10 @@ relay, CLAUDE.md):
   L0  pure bf16 matmul pair (C,D)@(D,N) + (C,N)@(N,D)   — the roofline's
       numerator executed alone: how close ANY program can get
   L1  fused value_and_grad of the staged logistic potential (one batched
-      grad eval) — adds the VJP structure, split-precision x2, elementwise
-      link terms
+      grad eval of whatever kernel bench._logistic_setup currently uses —
+      matmul_bf16x2_fastgrad since r5: split fwd + single-pass bf16 bwd)
+      — adds the VJP structure, the extra forward pass, elementwise link
+      terms
   L2  L1 inside a 16-step leapfrog lax.scan (the HMC inner loop) — adds
       integrator elementwise ops + loop structure
   L3  the full hmc_chain drive (warmup + sampling, adaptation ON) — adds
@@ -109,8 +113,9 @@ def main():
     results["L1_staged_value_and_grad"] = {
         "grad_evals_per_sec": round(C * K0 / t, 1),
         "pct_of_roofline": round(100 * (C * K0 / t) / roof_rate, 1),
-        "what_it_adds": "split-precision bf16x2 (2x hardware flops), prior "
-                        "terms, log1p_exp link, VJP transpose structure",
+        "what_it_adds": "the production kernel's extra MXU pass "
+                        "(split-precision fwd), prior terms, log1p_exp "
+                        "link, VJP transpose structure",
     }
 
     # L2: 16-step leapfrog scan (the HMC inner loop, no MH/adaptation),

@@ -71,7 +71,6 @@ import time as _time
 
 _SESSION_T0 = _time.perf_counter()
 _DURATIONS: list = []
-_GATE_FAILED = False
 
 
 def pytest_runtest_logreport(report):

@@ -516,3 +516,34 @@ def test_sharded_vi_data_mode_validation(mesh):
     res = sharded_vi(jax.random.PRNGKey(0), staged=staged,
                      config=VIConfig(n_iterations=50, n_samples=4), mesh=mesh)
     assert np.isfinite(res.final_elbo())
+
+
+def test_sharded_vi_data_mode_replicates_non_plate_leaves(mesh):
+    """Only leaves with the LARGEST leading axis (the plate) are sharded;
+    a small per-latent constant whose length happens to divide the device
+    count must be REPLICATED (r5 review: sharding it silently sliced the
+    prior and corrupted the psum'd ELBO with no error)."""
+    from fugue_tpu.inference.vi import VIConfig, optimize_meanfield_vi
+    from fugue_tpu.parallel.sharded import sharded_vi
+
+    d = 8  # == n_devices: the dangerous case
+    prior_mu = jnp.full((d,), 0.5)
+    rng = np.random.default_rng(11)
+    ys = jnp.asarray(rng.normal(0.5, 1.0, (64, d)))
+
+    def model(prior_mu, ys):
+        w = ft.sample("w", ft.Normal(prior_mu, 1.0))
+        ft.observe("ys", ft.Normal(w[None, :], 1.0), ys)
+
+    staged = ft.stage(model, prior_mu, ys)
+    cfg = VIConfig(n_iterations=300, n_samples=8)
+    res_s = sharded_vi(jax.random.PRNGKey(0), staged=staged, config=cfg,
+                       mesh=mesh)  # auto -> data (ys rows = 64 = 8*n_dev)
+    res_u = optimize_meanfield_vi(jax.random.PRNGKey(0), staged=staged,
+                                  config=cfg)
+    loc_s = np.asarray(res_s.params["w"]["loc"])
+    loc_u = np.asarray(res_u.params["w"]["loc"])
+    # conjugate per-coordinate posterior: (0.5 + sum ys_j)/(1 + 64)
+    post = (0.5 + np.asarray(ys).sum(0)) / 65.0
+    np.testing.assert_allclose(loc_s, loc_u, atol=1e-6)
+    np.testing.assert_allclose(loc_s, post, atol=0.1)
