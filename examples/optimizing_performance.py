@@ -11,6 +11,11 @@ Run: PYTHONPATH=. python examples/optimizing_performance.py
 """
 
 import jax
+
+# these asserts are tuned for f64 (the documented way to run the
+# examples); self-configure so `python examples/...` works anywhere
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 

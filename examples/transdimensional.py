@@ -8,6 +8,11 @@ structure flag is checked against the analytic evidence ratio.
 """
 
 import jax
+
+# these asserts are tuned for f64 (the documented way to run the
+# examples); self-configure so `python examples/...` works anywhere
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 import scipy.stats as st
