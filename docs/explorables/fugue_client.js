@@ -90,6 +90,12 @@ class FugueClient {
     return this.rpc("hmc.sharded", { model_id: modelId, ...opts });
   }
 
+  // -- one-shot variational inference (vi.rs engine; mean-field or
+  //    full-rank ADVI with pathwise gradients) --
+  viRun(modelId, opts = {}) {
+    return this.rpc("vi.run", { model_id: modelId, ...opts });
+  }
+
   // -- bootstrap particle filter (wasm pf.rs analog) --
   pfNew(opts = {}) {
     return this.rpc("pf.new", opts);

@@ -82,6 +82,7 @@ class FugueService:
             "chees.new": self._chees_new,
             "chees.step": self._chees_step,
             "hmc.sharded": self._hmc_sharded,
+            "vi.run": self._vi_run,
             "methods": lambda p: {"methods": sorted(self.methods)},
         }
 
@@ -350,6 +351,50 @@ class FugueService:
             "n_chains": n_chains,
             "step_size": res.step_size,
             "summaries": summaries,
+        }
+
+    def _vi_run(self, p):
+        """One-shot variational inference on a compiled model — mean-field
+        or full-rank ADVI (the reference's vi.rs:784-864 engine, here with
+        pathwise gradients), reachable from the browser client. Returns
+        per-site variational posterior summaries (mean/sd over constrained
+        guide draws) plus the ELBO trace for plotting."""
+        from .inference.vi import (VIConfig, optimize_fullrank_vi,
+                                   optimize_meanfield_vi)
+
+        _, _, staged = self._model(p)
+        cfg = VIConfig(
+            n_iterations=int(p.get("n_iterations", 1000)),
+            n_samples=int(p.get("n_samples", 16)),
+            learning_rate=float(p.get("learning_rate", 0.05)),
+        )
+        guide_kind = p.get("guide", "meanfield")
+        if guide_kind not in ("meanfield", "fullrank"):
+            raise ServiceError(
+                -32602, f"guide must be 'meanfield' or 'fullrank', "
+                        f"got {guide_kind!r}")
+        optimize = (optimize_fullrank_vi if guide_kind == "fullrank"
+                    else optimize_meanfield_vi)
+        res = optimize(self._key(p, 8), staged=staged, config=cfg)
+        draws = res.posterior_sample(
+            self._key(p, 9), int(p.get("posterior_draws", 1024)))
+        posterior = {}
+        for addr, vals in draws.items():
+            flat = np.asarray(vals, np.float64).reshape(vals.shape[0], -1)
+            posterior[addr] = {"mean": flat.mean(axis=0).tolist(),
+                               "sd": flat.std(axis=0).tolist()}
+        hist = np.asarray(res.elbo_history, np.float64)
+        # downsample for the wire but always keep the final point
+        stride = max(1, len(hist) // 200)
+        idx = np.unique(np.r_[np.arange(0, len(hist), stride),
+                              len(hist) - 1])
+        return {
+            "guide": guide_kind,
+            "converged": bool(res.converged),
+            "n_iterations_run": int(res.n_iterations_run),
+            "final_elbo": float(hist[-1]),
+            "elbo_history": hist[idx].tolist(),
+            "posterior": posterior,
         }
 
     def _grid(self, p):

@@ -209,6 +209,31 @@ def test_hmc_sharded_rpc():
     assert summ["r_hat"][0] < 1.05
 
 
+def test_vi_run_rpc(svc):
+    """vi.run: one-shot VI from the serving surface. The coin model's
+    posterior is Beta(9, 5) (mean 9/14 ≈ 0.643, sd ≈ 0.124); the mean-field
+    Beta family should recover both from the variational draws."""
+    mid = _compile_coin(svc)
+    out = _call(svc, "vi.run", model_id=mid, n_iterations=600,
+                posterior_draws=4096)
+    post = out["posterior"]["p"]
+    assert post["mean"][0] == pytest.approx(9 / 14, abs=0.04)
+    assert post["sd"][0] == pytest.approx(0.1237, abs=0.04)
+    assert out["n_iterations_run"] >= 1
+    assert len(out["elbo_history"]) >= 2
+    assert out["final_elbo"] == pytest.approx(out["elbo_history"][-1])
+    assert out["guide"] == "meanfield"
+
+    # full-rank ADVI reaches the same posterior through the logit transform
+    fr = _call(svc, "vi.run", model_id=mid, guide="fullrank",
+               n_iterations=600, posterior_draws=4096)
+    assert fr["posterior"]["p"]["mean"][0] == pytest.approx(9 / 14, abs=0.05)
+
+    err = svc.handle({"method": "vi.run", "params":
+                      {"model_id": mid, "guide": "laplace"}})
+    assert err["error"]["code"] == -32602
+
+
 def test_live_explorable_source_compiles():
     """The model source EMBEDDED in docs/explorables/live.html must compile
     through the real service (r5: the shipped source used a '~' syntax the
