@@ -378,6 +378,7 @@ def sharded_chees_chain(
         n_leapfrogs=int(np.asarray(n_leaps, np.int64)) * n_chains,
         inv_mass=inv_mass_f,
         final_positions=q_f,
+        criterion=config.criterion,
     )
 
 

@@ -46,6 +46,11 @@ def test_conjugate_normal_posterior():
     assert abs(mu.var() - post_var) < 0.15 * post_var
     assert float(np.mean(res.accept_prob)) > 0.5
     assert float(np.mean(res.divergences)) < 0.01
+    # well-preconditioned target: no criterion switch advised (measured
+    # anisotropy ~1.0)
+    advice = res.criterion_advice()
+    assert advice["recommendation"] is None
+    assert advice["ratio"] < 1.3, advice
 
 
 def test_correlated_gaussian_covariance_recovery():
@@ -108,6 +113,9 @@ def test_eight_schools_quality():
     assert rh < 1.02, rh
     assert float(np.mean(res.divergences)) < 0.03
     assert abs(mu.mean() - 4.4) < 1.5  # posterior mean of mu ≈ 4.4
+    # the regime where plain "chees" is the measured best (1.45x snaper
+    # ESS/grad): the advice must NOT steer the user away from it
+    assert res.criterion_advice()["recommendation"] is None
 
 
 def test_seed_reproducibility():
@@ -366,6 +374,7 @@ def test_snaper_fixes_flat_criterion_on_correlated_glm():
 
     staged = ft.stage(model, X, y)
     out = {}
+    advice = {}
     for crit in ("chees", "snaper"):
         res = chees_chain(
             jax.random.PRNGKey(0), staged=staged, n_samples=250,
@@ -375,6 +384,13 @@ def test_snaper_fixes_flat_criterion_on_correlated_glm():
         ess = min(float(ess_multichain(xs[..., j])) for j in range(d))
         out[crit] = (res.trajectory_length, res.mean_leapfrog, ess,
                      max(float(split_r_hat(xs[..., j])) for j in range(d)))
+        advice[crit] = res.criterion_advice()
+    # the post-run advisory detects this exact regime from the chees run's
+    # own samples (measured residual anisotropy 2.34x) and recommends the
+    # fix; the snaper run never advises a switch
+    assert advice["chees"]["recommendation"] == "snaper", advice
+    assert advice["chees"]["ratio"] > 1.8, advice
+    assert advice["snaper"]["recommendation"] is None
     t_c, L_c, ess_c, _rh_c = out["chees"]
     t_s, L_s, ess_s, rh_s = out["snaper"]
     # snaper resists the collapse: longer learned trajectories...
