@@ -11,8 +11,27 @@ import numpy as np
 import pytest
 
 import fugue_tpu as ft
-from fugue_tpu.inference.chees import ChEESConfig, chees_chain, halton_sequence
+from fugue_tpu.inference.chees import (
+    ChEESConfig,
+    chees_chain,
+    halton_sequence,
+    preconditioned_anisotropy,
+)
 from fugue_tpu.inference.mcmc_utils import ess_multichain, split_r_hat
+
+
+def test_preconditioned_anisotropy_known_spectrum():
+    """criterion_advice's measurement primitive on a known covariance:
+    N(0, diag(4, 1, 1)) draws with unit mass read (leading, median) sd
+    (2, 1); the mass that preconditions the target exactly reads
+    isotropic (ratio -> 1)."""
+    rng = np.random.default_rng(0)
+    P = rng.normal(size=(8, 500, 3)) * np.array([2.0, 1.0, 1.0])
+    lead, med = preconditioned_anisotropy(P, np.ones(3))
+    assert abs(lead - 2.0) < 0.1, lead
+    assert abs(med - 1.0) < 0.05, med
+    lead2, med2 = preconditioned_anisotropy(P, np.array([4.0, 1.0, 1.0]))
+    assert lead2 / med2 < 1.1, (lead2, med2)
 
 
 def test_halton_sequence_low_discrepancy():
