@@ -52,4 +52,13 @@ assert np.allclose(cov_hat, np.asarray(COV), atol=0.12)
 # the learned trajectory must be a multi-step one (not a random-walk L=1)
 assert res.mean_leapfrog > 1.5
 assert float(np.mean(res.divergences)) < 0.01
+
+# Post-run criterion check: on large-d data-informed targets the default
+# full-state criterion can silently flatten (use criterion="snaper" there);
+# criterion_advice() measures the residual anisotropy that causes it from
+# this run's own samples. Here the diagonal mass preconditions the target
+# well, so no switch is advised.
+advice = res.criterion_advice()
+print(f"criterion advice: {advice['reason']}")
+assert advice["recommendation"] is None
 print("ok")
